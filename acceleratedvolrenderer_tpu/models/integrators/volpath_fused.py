@@ -1,0 +1,427 @@
+"""VolPath, fused megakernel form — the production TPU integrator.
+
+Same estimator as models.integrators.volpath (see its docstring for the
+reference mapping: volpath_custom.cpp:280-609 / cpu/integrators.cpp:962+),
+restructured for lockstep SIMD throughput:
+
+  ONE `lax.while_loop` carries every ray through its whole path.  Each ray
+  owns a tiny program counter (MARCH / NEE / DONE); every iteration advances
+  every unfinished ray by one DDA voxel step *regardless of which stage of
+  its path it is in*.  There are no per-bounce or per-stage barriers — a ray
+  on bounce 1 marches in the same iteration as a ray finishing its bounce
+  7 shadow ray.  This is the wavefront renderer's pipeline
+  (wavefront/integrator.cpp:290-435) collapsed into registers: the "queues"
+  are mode bits, "queue push" is a masked register write, and stage kernels
+  are masked blocks of the single loop body.
+
+  Free flights use tau-target sampling (see ops.dda docstring): one RNG
+  draw + one density trilerp per tentative collision rather than per voxel.
+  Main-path and shadow-ray marching share the same DDA registers — a ray is
+  only ever marching one segment at a time, so the shadow segment borrows
+  the registers and the scatter context (throughput, light sample, saved
+  direction) lives in its own lanes.
+
+  RNG draws commit per-ray only when consumed, so radiance estimates are
+  bitwise independent of batch composition and device sharding.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import phase as phase_ops
+from ...ops.dda import (
+    MediumArrays,
+    dda_init,
+    pcg_uniform_masked,
+    world_to_medium,
+)
+from ...ops import grid as gridops
+from ...utils.math import ONE_MINUS_EPSILON
+from .. import lights as lights_mod
+
+# program counter values
+PC_MARCH = 0
+PC_NEE = 1
+PC_DONE = 2
+
+
+class LiResult(NamedTuple):
+    L: jnp.ndarray
+    rng: jnp.ndarray
+
+
+class _Regs(NamedTuple):
+    # control
+    pc: jnp.ndarray          # (N,) int32 program counter
+    depth: jnp.ndarray       # (N,) int32 real-scatter count
+    rng: jnp.ndarray         # (N,) uint32
+    # current segment ray (main path *or* shadow, per pc)
+    so: jnp.ndarray          # (N, 3) segment origin
+    sd: jnp.ndarray          # (N, 3) segment direction (unit)
+    # main path context
+    d_main: jnp.ndarray      # (N, 3) path direction (= sd while pc==MARCH)
+    # DDA registers for the active segment
+    voxel: jnp.ndarray
+    next_t: jnp.ndarray
+    dt: jnp.ndarray
+    step: jnp.ndarray
+    t_exit: jnp.ndarray
+    t_cur: jnp.ndarray
+    dl_target: jnp.ndarray
+    dl_since: jnp.ndarray
+    reached: jnp.ndarray
+    seg_escaped: jnp.ndarray  # segment ended without reaching the target
+    # spectral state
+    L: jnp.ndarray
+    beta: jnp.ndarray
+    r_u: jnp.ndarray
+    r_l: jnp.ndarray
+    # NEE context (valid while pc == NEE)
+    T_ray: jnp.ndarray       # (N, LANES) shadow ratio-tracking accumulators
+    r_l_s: jnp.ndarray
+    r_u_s: jnp.ndarray
+    ls_L: jnp.ndarray        # light sample radiance
+    ls_pdf: jnp.ndarray      # (N,) light pdf (incl. sampler pmf)
+    f_hat: jnp.ndarray       # (N,) phase value at the NEE direction
+    is_delta: jnp.ndarray    # (N,) bool
+    n_steps: jnp.ndarray     # scalar
+
+
+def li(
+    med: MediumArrays,
+    lights: list,
+    o, d,
+    lam,
+    rng,
+    *,
+    maj_res,
+    homogeneous: bool,
+    max_depth: int = 5,
+    scene_radius: float = 1e4,
+    max_march_steps: int = 100000,
+    k_substeps: int = 8,
+) -> LiResult:
+    N = o.shape[0]
+    LANES = lam.shape[-1]
+    f32 = jnp.float32
+
+    sigma_t = jnp.broadcast_to(med.sigma_a + med.sigma_s, (N, LANES))
+    sigma_a_b = jnp.broadcast_to(med.sigma_a, (N, LANES))
+    sigma_s_b = jnp.broadcast_to(med.sigma_s, (N, LANES))
+    Le_b = jnp.broadcast_to(med.Le, (N, LANES))
+    sigma_t0 = sigma_t[:, 0]
+    g = med.g
+    maj_res_i = jnp.asarray(maj_res, jnp.int32)
+    rz, ry, rx = med.majorant.shape
+
+    def init_segment(so, sd, t_max, rng, need, old):
+        """(Re)initialize DDA registers for rays in `need`; also draws the
+        first tau target.  `old` is the current _Regs to preserve the rest."""
+        dda, t0 = dda_init(so, sd, t_max, med.w2m, maj_res)
+        rng, u0 = pcg_uniform_masked(rng, need & dda.in_medium)
+        u0 = jnp.minimum(u0, ONE_MINUS_EPSILON)
+        dl0 = jnp.where(sigma_t0 > 0, -jnp.log1p(-u0) / jnp.maximum(sigma_t0, 1e-30), jnp.inf)
+        sel = need
+        sel3 = need[:, None]
+        return old._replace(
+            so=jnp.where(sel3, so, old.so),
+            sd=jnp.where(sel3, sd, old.sd),
+            voxel=jnp.where(sel3, dda.voxel, old.voxel),
+            next_t=jnp.where(sel3, dda.next_t, old.next_t),
+            dt=jnp.where(sel3, dda.dt, old.dt),
+            step=jnp.where(sel3, dda.step, old.step),
+            t_exit=jnp.where(sel, dda.t_exit, old.t_exit),
+            t_cur=jnp.where(sel, t0, old.t_cur),
+            dl_target=jnp.where(sel, dl0, old.dl_target),
+            dl_since=jnp.where(sel, 0.0, old.dl_since),
+            reached=jnp.where(sel, False, old.reached),
+            # a segment that misses the medium is immediately "escaped"
+            seg_escaped=jnp.where(sel, ~dda.in_medium, old.seg_escaped),
+            rng=rng,
+        ), dda.in_medium
+
+    # ---- initial segment: camera rays --------------------------------------
+    zero_s = jnp.zeros((N, LANES), f32)
+    regs = _Regs(
+        pc=jnp.full((N,), PC_MARCH, jnp.int32),
+        depth=jnp.zeros((N,), jnp.int32),
+        rng=rng,
+        so=o, sd=d, d_main=d,
+        voxel=jnp.zeros((N, 3), jnp.int32),
+        next_t=jnp.zeros((N, 3), f32),
+        dt=jnp.zeros((N, 3), f32),
+        step=jnp.zeros((N, 3), jnp.int32),
+        t_exit=jnp.zeros((N,), f32),
+        t_cur=jnp.zeros((N,), f32),
+        dl_target=jnp.zeros((N,), f32),
+        dl_since=jnp.zeros((N,), f32),
+        reached=jnp.zeros((N,), bool),
+        seg_escaped=jnp.zeros((N,), bool),
+        L=zero_s,
+        beta=jnp.ones((N, LANES), f32),
+        r_u=jnp.ones((N, LANES), f32),
+        r_l=jnp.ones((N, LANES), f32),
+        T_ray=jnp.ones((N, LANES), f32),
+        r_l_s=jnp.ones((N, LANES), f32),
+        r_u_s=jnp.ones((N, LANES), f32),
+        ls_L=zero_s,
+        ls_pdf=jnp.zeros((N,), f32),
+        f_hat=jnp.zeros((N,), f32),
+        is_delta=jnp.zeros((N,), bool),
+        n_steps=jnp.int32(0),
+    )
+    regs, _ = init_segment(o, d, jnp.full((N,), jnp.inf, f32), rng,
+                           jnp.ones((N,), bool), regs)
+
+    def substep(c: _Regs) -> _Regs:
+        """One DDA voxel advance for rays hunting their collision target."""
+        hunting = (c.pc != PC_DONE) & ~c.reached & ~c.seg_escaped
+        vx = jnp.clip(c.voxel[:, 0], 0, rx - 1)
+        vy = jnp.clip(c.voxel[:, 1], 0, ry - 1)
+        vz = jnp.clip(c.voxel[:, 2], 0, rz - 1)
+        maxd = med.majorant[vz, vy, vx]
+        seg_end = jnp.minimum(jnp.min(c.next_t, axis=-1), c.t_exit)
+        seg_len = jnp.maximum(seg_end - c.t_cur, 0.0)
+        dl_seg = maxd * seg_len
+
+        lands = hunting & (dl_seg >= c.dl_target) & (maxd > 0)
+        t_col = c.t_cur + jnp.where(maxd > 0, c.dl_target / jnp.maximum(maxd, 1e-30), jnp.inf)
+
+        crossing = hunting & ~lands
+        axis = jnp.argmin(c.next_t, axis=-1)
+        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+        hit_exit = seg_end >= c.t_exit
+        do_cross = crossing & ~hit_exit
+        adv = do_cross[:, None] & (onehot != 0)
+        voxel = jnp.where(do_cross[:, None], c.voxel + onehot * c.step, c.voxel)
+        next_t = jnp.where(adv, c.next_t + c.dt, c.next_t)
+        out_of_grid = jnp.any((voxel < 0) | (voxel >= maj_res_i), axis=-1)
+        escaped = crossing & (hit_exit | out_of_grid)
+
+        return c._replace(
+            voxel=voxel, next_t=next_t,
+            dl_target=jnp.where(crossing, c.dl_target - dl_seg, c.dl_target),
+            dl_since=c.dl_since + jnp.where(
+                lands, c.dl_target, jnp.where(crossing, dl_seg, 0.0)),
+            t_cur=jnp.where(lands, t_col, jnp.where(crossing, seg_end, c.t_cur)),
+            reached=c.reached | lands,
+            seg_escaped=c.seg_escaped | escaped,
+        )
+
+    def handle_events(c: _Regs) -> _Regs:
+        """Collision classification + segment-end transitions for all modes."""
+        # ------ shared per-collision quantities ------
+        col_any = c.reached & (c.pc != PC_DONE)
+        if homogeneous:
+            dens = jnp.ones((N,), f32)
+        else:
+            p_w = c.so + c.t_cur[:, None] * c.sd
+            p_m = world_to_medium(med.w2m, p_w)
+            dens = gridops.trilerp(med.density, p_m)
+        vx = jnp.clip(c.voxel[:, 0], 0, rx - 1)
+        vy = jnp.clip(c.voxel[:, 1], 0, ry - 1)
+        vz = jnp.clip(c.voxel[:, 2], 0, rz - 1)
+        maxd = med.majorant[vz, vy, vx]
+        sa = sigma_a_b * dens[:, None]
+        ss = sigma_s_b * dens[:, None]
+        sig_maj = sigma_t * maxd[:, None]
+        sig_maj0 = sig_maj[:, 0]
+        T_maj = jnp.exp(-sigma_t * c.dl_since[:, None])
+        sig_n = jnp.clip(sig_maj - sa - ss, 0.0, None)
+
+        # fresh tau targets for continuing rays (drawn where consumed)
+        rng = c.rng
+
+        # =========== MAIN-PATH COLLISIONS (pc == MARCH) ===========
+        col_m = col_any & (c.pc == PC_MARCH)
+        p_absorb = jnp.where(sig_maj0 > 0, sa[:, 0] / jnp.maximum(sig_maj0, 1e-30), 0.0)
+        p_scatter = jnp.where(sig_maj0 > 0, ss[:, 0] / jnp.maximum(sig_maj0, 1e-30), 0.0)
+        rng, u_ev = pcg_uniform_masked(rng, col_m)
+        is_absorb = col_m & (u_ev < p_absorb)
+        is_scatter = col_m & ~is_absorb & (u_ev < p_absorb + p_scatter)
+        is_null = col_m & ~is_absorb & ~is_scatter
+
+        # emission at every main collision while depth < max_depth
+        pdf_e = sig_maj0 * T_maj[:, 0]
+        betap = c.beta * T_maj / jnp.maximum(pdf_e, 1e-30)[:, None]
+        r_e = c.r_u * sig_maj * T_maj / jnp.maximum(pdf_e, 1e-30)[:, None]
+        r_e_avg = jnp.mean(r_e, axis=-1)
+        contrib_e = betap * sa * Le_b / jnp.maximum(r_e_avg, 1e-30)[:, None]
+        emit_ok = col_m & (pdf_e > 0) & (r_e_avg > 0) & (c.depth < max_depth)
+        L_acc = c.L + jnp.where(emit_ok[:, None], contrib_e, 0.0)
+
+        # null updates (main)
+        pdf_null = T_maj[:, 0] * sig_n[:, 0]
+        null_ok = pdf_null > 0
+        f_null = jnp.where(null_ok[:, None],
+                           T_maj * sig_n / jnp.maximum(pdf_null, 1e-30)[:, None], 0.0)
+        f_null_l = jnp.where(null_ok[:, None],
+                             T_maj * sig_maj / jnp.maximum(pdf_null, 1e-30)[:, None], 0.0)
+        pdf_sc = T_maj[:, 0] * ss[:, 0]
+        f_sc = jnp.where((pdf_sc > 0)[:, None],
+                         T_maj * ss / jnp.maximum(pdf_sc, 1e-30)[:, None], 0.0)
+
+        beta = jnp.where(is_null[:, None], c.beta * f_null,
+                         jnp.where(is_scatter[:, None], c.beta * f_sc, c.beta))
+        r_u = jnp.where(is_null[:, None], c.r_u * f_null,
+                        jnp.where(is_scatter[:, None], c.r_u * f_sc, c.r_u))
+        r_l = jnp.where(is_null[:, None], c.r_l * f_null_l, c.r_l)
+        dead_null = is_null & (~jnp.any(beta != 0.0, axis=-1) |
+                               ~jnp.any(r_u != 0.0, axis=-1))
+
+        # scatter at depth cap terminates (volpath_custom.cpp:352)
+        over = is_scatter & (c.depth >= max_depth)
+        do_scatter = is_scatter & ~over
+        depth = c.depth + jnp.where(do_scatter, 1, 0)
+
+        # =========== MAIN-PATH SEGMENT ESCAPE (pc == MARCH) ===========
+        esc_m = c.seg_escaped & (c.pc == PC_MARCH)
+        # escaped rays: residual T_maj/T_maj[0], then infinite lights + DONE
+        T_res = jnp.exp(-sigma_t * c.dl_since[:, None])
+        f_res = T_res / jnp.maximum(T_res[:, 0:1], 1e-30)
+        beta = jnp.where(esc_m[:, None], beta * f_res, beta)
+        r_u = jnp.where(esc_m[:, None], r_u * f_res, r_u)
+        r_l = jnp.where(esc_m[:, None], r_l * f_res, r_l)
+        Le_inf, pdf_inf = lights_mod.escaped_radiance(lights, c.d_main, lam)
+        first = c.depth == 0
+        denom_first = jnp.mean(r_u, axis=-1)
+        denom_mis = jnp.mean(r_u + r_l * pdf_inf[:, None], axis=-1)
+        denom = jnp.where(first, denom_first, denom_mis)
+        contrib_inf = beta * Le_inf / jnp.maximum(denom, 1e-30)[:, None]
+        L_acc = L_acc + jnp.where((esc_m & (denom > 0))[:, None], contrib_inf, 0.0)
+
+        # =========== SCATTER: set up NEE shadow segment ===========
+        p_scat = c.so + c.t_cur[:, None] * c.sd
+        wo = -c.d_main
+        rng, u1 = pcg_uniform_masked(rng, do_scatter)
+        rng, u2a = pcg_uniform_masked(rng, do_scatter)
+        rng, u2b = pcg_uniform_masked(rng, do_scatter)
+        ls, is_delta = lights_mod.sample_one_light(
+            lights, p_scat, u1, jnp.stack([u2a, u2b], -1), lam
+        )
+        f_hat = phase_ops.hg_phase(wo, ls.wi, g)
+        nee_valid = do_scatter & ls.valid & (ls.pdf > 0) & (f_hat > 0)
+        # rays whose light sample is unusable skip NEE -> sample phase now
+        skip_nee = do_scatter & ~nee_valid
+
+        # =========== NEE COLLISIONS (pc == NEE) ===========
+        col_s = col_any & (c.pc == PC_NEE)
+        pdf_rt = T_maj[:, 0] * sig_maj0
+        inv_rt = 1.0 / jnp.maximum(pdf_rt, 1e-30)
+        ok_rt = (pdf_rt > 0)
+        T_ray = jnp.where((col_s & ok_rt)[:, None],
+                          c.T_ray * T_maj * sig_n * inv_rt[:, None], c.T_ray)
+        r_l_s = jnp.where((col_s & ok_rt)[:, None],
+                          c.r_l_s * T_maj * sig_maj * inv_rt[:, None], c.r_l_s)
+        r_u_s = jnp.where((col_s & ok_rt)[:, None],
+                          c.r_u_s * T_maj * sig_n * inv_rt[:, None], c.r_u_s)
+        denom_rr = jnp.mean(r_l_s + r_u_s, axis=-1)
+        Tr = T_ray / jnp.maximum(denom_rr, 1e-30)[:, None]
+        rr = col_s & (jnp.max(Tr, axis=-1) < 0.05)
+        rng, u_rr = pcg_uniform_masked(rng, rr)
+        killed = rr & (u_rr < 0.75)
+        T_ray = jnp.where(killed[:, None], 0.0,
+                          jnp.where(rr[:, None], T_ray / 0.25, T_ray))
+        shadow_dead = col_s & ~jnp.any(T_ray != 0.0, axis=-1)
+
+        # =========== NEE SEGMENT COMPLETE (pc == NEE) ===========
+        esc_s = (c.seg_escaped | shadow_dead) & (c.pc == PC_NEE)
+        # residual factor for the shadow segment
+        T_ray_f = jnp.where((esc_s & ~shadow_dead)[:, None], T_ray * f_res, T_ray)
+        r_l_sf = jnp.where((esc_s & ~shadow_dead)[:, None], r_l_s * f_res, r_l_s)
+        r_u_sf = jnp.where((esc_s & ~shadow_dead)[:, None], r_u_s * f_res, r_u_s)
+        # contribution (volpath_custom.cpp:723-727): r_p = path r_u
+        r_l_nee = r_l_sf * c.r_u * c.ls_pdf[:, None]
+        r_u_nee = r_u_sf * c.r_u * c.f_hat[:, None]
+        denom_nee = jnp.where(c.is_delta, jnp.mean(r_l_nee, axis=-1),
+                              jnp.mean(r_l_nee + r_u_nee, axis=-1))
+        contrib_nee = (c.beta * c.f_hat[:, None] * T_ray_f * c.ls_L
+                       / jnp.maximum(denom_nee, 1e-30)[:, None])
+        L_acc = L_acc + jnp.where((esc_s & (denom_nee > 0))[:, None], contrib_nee, 0.0)
+
+        # =========== PHASE SAMPLE (NEE done, or scatter that skipped NEE) ====
+        resume = esc_s | skip_nee
+        rng, u3a = pcg_uniform_masked(rng, resume)
+        rng, u3b = pcg_uniform_masked(rng, resume)
+        wo2 = -c.d_main
+        wi, ps_pdf = phase_ops.sample_hg(wo2, jnp.stack([u3a, u3b], -1), g)
+        ps_ok = ps_pdf > 0
+        r_l_new = jnp.where((resume & ps_ok)[:, None],
+                            r_u / jnp.maximum(ps_pdf, 1e-30)[:, None], r_l)
+        # scatter position: for esc_s rays it's the stored shadow origin;
+        # for skip_nee rays it's p_scat
+        p_resume = jnp.where(esc_s[:, None], c.so, p_scat)
+        d_new = jnp.where((resume & ps_ok)[:, None], wi, c.d_main)
+
+        # =========== program counter updates ===========
+        pc = c.pc
+        pc = jnp.where(is_absorb | dead_null | over | esc_m, PC_DONE, pc)
+        pc = jnp.where(nee_valid, PC_NEE, pc)
+        pc = jnp.where(resume & ps_ok, PC_MARCH, pc)
+        pc = jnp.where(resume & ~ps_ok, PC_DONE, pc)
+        pc = pc.astype(jnp.int32)
+
+        # =========== null continuation: fresh tau target in place ===========
+        rng, u_n = pcg_uniform_masked(rng, is_null & ~dead_null)
+        u_n = jnp.minimum(u_n, ONE_MINUS_EPSILON)
+        dl_new = jnp.where(sigma_t0 > 0,
+                           -jnp.log1p(-u_n) / jnp.maximum(sigma_t0, 1e-30), jnp.inf)
+        cont_null = (is_null & ~dead_null) | col_s
+        rng, u_n2 = pcg_uniform_masked(rng, col_s & ~shadow_dead)
+        u_n2 = jnp.minimum(u_n2, ONE_MINUS_EPSILON)
+        dl_new2 = jnp.where(sigma_t0 > 0,
+                            -jnp.log1p(-u_n2) / jnp.maximum(sigma_t0, 1e-30), jnp.inf)
+        dl_target = jnp.where(is_null & ~dead_null, dl_new,
+                              jnp.where(col_s & ~shadow_dead, dl_new2, c.dl_target))
+        dl_since = jnp.where(col_any, 0.0, c.dl_since)
+
+        c2 = c._replace(
+            pc=pc, depth=depth, rng=rng,
+            d_main=d_new,
+            L=L_acc, beta=beta, r_u=r_u, r_l=r_l_new,
+            T_ray=jnp.where(nee_valid[:, None], 1.0, T_ray_f),
+            r_l_s=jnp.where(nee_valid[:, None], 1.0, r_l_sf),
+            r_u_s=jnp.where(nee_valid[:, None], 1.0, r_u_sf),
+            ls_L=jnp.where(nee_valid[:, None], ls.L, c.ls_L),
+            ls_pdf=jnp.where(nee_valid, ls.pdf, c.ls_pdf),
+            f_hat=jnp.where(nee_valid, f_hat, c.f_hat),
+            is_delta=jnp.where(nee_valid, is_delta, c.is_delta),
+            dl_target=dl_target, dl_since=dl_since,
+            reached=c.reached & ~col_any,
+        )
+
+        # =========== segment (re)initialization ===========
+        # NEE start: shadow ray from p_scat along ls.wi, t_max = ls.dist
+        # MARCH resume: from p_resume along wi, t_max = inf
+        need_shadow = nee_valid
+        need_march = resume & ps_ok
+        new_o = jnp.where(need_shadow[:, None], p_scat, p_resume)
+        new_d = jnp.where(need_shadow[:, None], ls.wi, wi)
+        new_tmax = jnp.where(need_shadow, ls.dist, jnp.inf)
+        need = need_shadow | need_march
+        c2, in_med = init_segment(new_o, new_d, new_tmax, c2.rng, need, c2)
+        # a NEE segment that misses the medium contributes immediately next
+        # iteration via seg_escaped (handled above); same for MARCH resume.
+        return c2
+
+    def cond(c: _Regs):
+        return jnp.any(c.pc != PC_DONE) & (c.n_steps < max_march_steps)
+
+    def body(c: _Regs):
+        # K cheap DDA sub-steps amortize one expensive event block: rays that
+        # hit their collision target early in the window idle (reached flag)
+        # until the block processes them — pure scheduling, no estimator
+        # change (events are per-ray independent).
+        for _ in range(k_substeps):
+            c = substep(c)
+        c = jax.lax.cond(
+            jnp.any((c.reached | c.seg_escaped) & (c.pc != PC_DONE)),
+            handle_events, lambda x: x, c,
+        )
+        return c._replace(n_steps=c.n_steps + 1)
+
+    end = jax.lax.while_loop(cond, body, regs)
+    return LiResult(L=end.L, rng=end.rng)

@@ -1,0 +1,156 @@
+"""Dense sampled grids + low-res majorant grids.
+
+Reference: SampledGrid<T> with trilinear Lookup (util/containers.h:765) and
+MajorantGrid (media.h:105-133) built at medium construction by taking the max
+density over each majorant voxel's continuous bounds (media.cpp:240-246,
+16^3 for GridMedium / 64^3 for NanoVDB-scale grids).
+
+TPU-native design: a grid is a plain (nz, ny, nx) jnp array in HBM; trilinear
+lookup is 8 vectorized gathers + lerp over the whole ray batch (VPU work);
+out-of-range reads return 0 exactly like SampledGrid::Lookup's
+InsideExclusive check.  Index convention matches the reference linear layout
+(p.z * ny + p.y) * nx + p.x, i.e. array axis order [z, y, x].
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def trilerp(grid, p_unit):
+    """Trilinearly interpolate `grid` ((nz, ny, nx) array) at continuous
+    [0,1]^3 coordinates p_unit (..., 3) given as (x, y, z).
+
+    Sample positions follow pbrt: pSamples = p * n - 0.5 (voxel centers at
+    (i + 0.5) / n).  Out-of-range taps contribute 0.
+    """
+    nz, ny, nx = grid.shape
+    n = jnp.asarray([nx, ny, nz], grid.dtype)
+    ps = p_unit * n - 0.5
+    pi = jnp.floor(ps)
+    d = ps - pi
+    pi = pi.astype(jnp.int32)
+
+    def tap(ox, oy, oz):
+        ix = pi[..., 0] + ox
+        iy = pi[..., 1] + oy
+        iz = pi[..., 2] + oz
+        inside = (
+            (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & (iz >= 0) & (iz < nz)
+        )
+        ixc = jnp.clip(ix, 0, nx - 1)
+        iyc = jnp.clip(iy, 0, ny - 1)
+        izc = jnp.clip(iz, 0, nz - 1)
+        v = grid[izc, iyc, ixc]
+        return jnp.where(inside, v, 0.0)
+
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    c00 = tap(0, 0, 0) * (1 - dx) + tap(1, 0, 0) * dx
+    c10 = tap(0, 1, 0) * (1 - dx) + tap(1, 1, 0) * dx
+    c01 = tap(0, 0, 1) * (1 - dx) + tap(1, 0, 1) * dx
+    c11 = tap(0, 1, 1) * (1 - dx) + tap(1, 1, 1) * dx
+    c0 = c00 * (1 - dy) + c10 * dy
+    c1 = c01 * (1 - dy) + c11 * dy
+    return c0 * (1 - dz) + c1 * dz
+
+
+def trilerp_vec(grid, p_unit):
+    """Trilerp for a grid with trailing channel axis (nz, ny, nx, C) ->
+    (..., C). Used by RGB-coefficient media."""
+    nz, ny, nx, _ = grid.shape
+    n = jnp.asarray([nx, ny, nz], jnp.float32)
+    ps = p_unit * n - 0.5
+    pi = jnp.floor(ps)
+    d = ps - pi
+    pi = pi.astype(jnp.int32)
+
+    def tap(ox, oy, oz):
+        ix = pi[..., 0] + ox
+        iy = pi[..., 1] + oy
+        iz = pi[..., 2] + oz
+        inside = (
+            (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & (iz >= 0) & (iz < nz)
+        )
+        v = grid[jnp.clip(iz, 0, nz - 1), jnp.clip(iy, 0, ny - 1), jnp.clip(ix, 0, nx - 1)]
+        return jnp.where(inside[..., None], v, 0.0)
+
+    dx = d[..., 0:1]
+    dy = d[..., 1:2]
+    dz = d[..., 2:3]
+    c00 = tap(0, 0, 0) * (1 - dx) + tap(1, 0, 0) * dx
+    c10 = tap(0, 1, 0) * (1 - dx) + tap(1, 1, 0) * dx
+    c01 = tap(0, 0, 1) * (1 - dx) + tap(1, 0, 1) * dx
+    c11 = tap(0, 1, 1) * (1 - dx) + tap(1, 1, 1) * dx
+    c0 = c00 * (1 - dy) + c10 * dy
+    c1 = c01 * (1 - dy) + c11 * dy
+    return c0 * (1 - dz) + c1 * dz
+
+
+def max_value_range(density: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> float:
+    """Max over the density-sample index range covering continuous bounds
+    [lo, hi] in [0,1]^3 — exact SampledGrid::MaxValue semantics
+    (containers.h), host-side."""
+    nz, ny, nx = density.shape
+    n = np.array([nx, ny, nz], np.float64)
+    p0 = np.maximum(np.floor(lo * n - 0.5).astype(np.int64), 0)
+    p1 = np.minimum(np.floor(hi * n - 0.5).astype(np.int64) + 1, n.astype(np.int64) - 1)
+    if np.any(p1 < p0):
+        return 0.0
+    return float(
+        density[p0[2]: p1[2] + 1, p0[1]: p1[1] + 1, p0[0]: p1[0] + 1].max()
+    )
+
+
+def build_majorant_grid(density: np.ndarray, res=(16, 16, 16)) -> np.ndarray:
+    """Host-side majorant build: (rz, ry, rx) grid of per-cell max density,
+    max taken over the continuous cell bounds exactly as media.cpp:240-246.
+
+    Runs once at scene build; the hot path only reads it.
+    """
+    density = np.asarray(density, np.float32)
+    rx, ry, rz = res
+    out = np.zeros((rz, ry, rx), np.float32)
+    nz, ny, nx = density.shape
+    n = np.array([nx, ny, nz], np.int64)
+
+    # Precompute per-axis sample index ranges for each majorant cell, then a
+    # separable running max via cumulative folding — O(N) instead of
+    # O(N * cells).
+    # Cell c covers [c/r, (c+1)/r]; sample range per axis:
+    #   lo_i = max(floor(c/r * n - .5), 0), hi_i = min(floor((c+1)/r*n-.5)+1, n-1)
+    def axis_ranges(r, nn):
+        c = np.arange(r)
+        lo = np.maximum(np.floor(c / r * nn - 0.5).astype(np.int64), 0)
+        hi = np.minimum(np.floor((c + 1) / r * nn - 0.5).astype(np.int64) + 1, nn - 1)
+        return lo, hi
+
+    lox, hix = axis_ranges(rx, nx)
+    loy, hiy = axis_ranges(ry, ny)
+    loz, hiz = axis_ranges(rz, nz)
+
+    # separable max: reduce x, then y, then z
+    mx = np.stack([density[:, :, l: h + 1].max(axis=2) for l, h in zip(lox, hix)], axis=-1)  # (nz, ny, rx)
+    mxy = np.stack([mx[:, l: h + 1, :].max(axis=1) for l, h in zip(loy, hiy)], axis=1)      # (nz, ry, rx)
+    out = np.stack([mxy[l: h + 1].max(axis=0) for l, h in zip(loz, hiz)], axis=0)           # (rz, ry, rx)
+    return out
+
+
+def build_majorant_grid_jax(density, res=(16, 16, 16)):
+    """JIT-compatible majorant build for the differentiable path (re-run when
+    the optimized density changes).  Same index-range semantics, expressed as
+    three one-axis segment maxes with static ranges."""
+    rx, ry, rz = res
+    nz, ny, nx = density.shape
+
+    def axis_ranges(r, nn):
+        c = np.arange(r)
+        lo = np.maximum(np.floor(c / r * nn - 0.5).astype(np.int64), 0)
+        hi = np.minimum(np.floor((c + 1) / r * nn - 0.5).astype(np.int64) + 1, nn - 1)
+        return lo, hi
+
+    lox, hix = axis_ranges(rx, nx)
+    loy, hiy = axis_ranges(ry, ny)
+    loz, hiz = axis_ranges(rz, nz)
+    mx = jnp.stack([density[:, :, l: h + 1].max(axis=2) for l, h in zip(lox, hix)], axis=-1)
+    mxy = jnp.stack([mx[:, l: h + 1, :].max(axis=1) for l, h in zip(loy, hiy)], axis=1)
+    return jnp.stack([mxy[l: h + 1].max(axis=0) for l, h in zip(loz, hiz)], axis=0)

@@ -1,0 +1,163 @@
+"""Device mesh + sharded rendering.
+
+Reference parallelism inventory (SURVEY.md §2.4): the C++ renderer has only
+intra-host threads (ParallelFor2D tile pool) and CUDA offload.  The
+TPU-native scale-out replaces all of it with SPMD over a `jax.sharding.Mesh`:
+
+  * rays/pixels shard over the mesh's 'rays' axis (pure data parallel —
+    paths are independent, the one cross-device reduction is film
+    accumulation);
+  * the density/majorant grids and light list replicate;
+  * film partials `psum` over ICI at wave end (gradients of the grids
+    all-reduce the same way in the differentiable path);
+  * multi-host: same program — jax.distributed handles DCN process groups,
+    the mesh spans all devices, per-host batches are the host's addressable
+    shards.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_name: str = "rays") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_rays(mesh: Mesh, *arrays, axis_name: str = "rays"):
+    """Place ray-batch arrays with their leading dim sharded over the mesh."""
+    sh = NamedSharding(mesh, P(axis_name))
+    return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+def make_sharded_wave_renderer(scene, mesh: Mesh, axis_name: str = "rays"):
+    """Sharded single-wave renderer via shard_map.
+
+    Each device traces its slice of the pixel batch and accumulates a local
+    film; films `psum` over the mesh so every device holds the full frame
+    (replicated film out — cheap at typical film sizes, and it keeps the
+    wave loop free of host gathers).
+    """
+    from jax import shard_map
+
+    from ..models.film import Film
+    from ..models.integrators import volpath_fused as volpath
+    from ..ops import dda
+    from ..utils import spectrum as sp
+
+    cam = scene.camera
+    H, W = cam.height, cam.width
+    n_dev = int(np.prod(mesh.devices.shape))
+    total = H * W
+    pad = (-total) % n_dev
+    n_padded = total + pad
+
+    med_spec = scene.medium
+    homogeneous = med_spec.homogeneous if med_spec is not None else True
+    maj_res = med_spec.maj_res() if med_spec is not None else (1, 1, 1)
+
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    pix_all = np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32)
+    if pad:
+        pix_all = np.concatenate([pix_all, np.full((pad, 2), -1, np.int32)], 0)
+    pix_const = jnp.asarray(pix_all)
+    pixidx_const = jnp.arange(n_padded, dtype=jnp.uint32)
+
+    if med_spec is not None and not homogeneous:
+        from ..ops import grid as gridops
+
+        density_const = jnp.asarray(med_spec.density, jnp.float32)
+        majorant_const = jnp.asarray(
+            gridops.build_majorant_grid(np.asarray(med_spec.density), maj_res)
+        )
+    else:
+        density_const = jnp.ones((1, 1, 1), jnp.float32)
+        majorant_const = jnp.ones((1, 1, 1), jnp.float32)
+
+    def wave_local(film: Film, density, majorant, sample_idx, pix, pixidx):
+        n = pix.shape[0]
+        rng = dda.seed_stream(pixidx, jnp.full((n,), sample_idx, jnp.uint32),
+                              salt=scene.seed)
+        rng, ua = dda.pcg_uniform(rng)
+        rng, ub = dda.pcg_uniform(rng)
+        off = scene.filter.sample_offset(jnp.stack([ua, ub], -1)) + 0.5
+        rng, ul = dda.pcg_uniform(rng)
+        swl = sp.sample_wavelengths_visible(ul)
+        o, d = cam.generate_rays(pix, off, None)
+
+        if med_spec is not None:
+            sa = med_spec.sigma_a_spec(swl.lam) * med_spec.scale
+            ss = med_spec.sigma_s_spec(swl.lam) * med_spec.scale
+            Le = (med_spec.Le_spec(swl.lam) * med_spec.Le_scale
+                  if med_spec.Le_spec is not None else jnp.zeros_like(swl.lam))
+            med = dda.MediumArrays(
+                density=density, majorant=majorant,
+                w2m=jnp.asarray(med_spec.world_to_unit(), jnp.float32),
+                g=jnp.float32(med_spec.g), sigma_a=sa, sigma_s=ss, Le=Le,
+            )
+            res = volpath.li(
+                med, scene.lights, o, d, swl.lam, rng,
+                maj_res=maj_res, homogeneous=homogeneous,
+                max_depth=scene.max_depth, scene_radius=scene.scene_radius,
+                max_march_steps=scene.max_march_steps,
+            )
+            L = res.L
+        else:
+            from ..models import lights as lights_mod
+
+            Le_inf, _ = lights_mod.escaped_radiance(scene.lights, d, swl.lam)
+            L = Le_inf
+
+        local = Film.create(H, W).add_samples(pix, L, swl)
+        # cross-device film reduction over ICI
+        rgb = jax.lax.psum(local.rgb_sum, axis_name)
+        wsum = jax.lax.psum(local.weight_sum, axis_name)
+        return Film(film.rgb_sum + rgb, film.weight_sum + wsum)
+
+    smapped = shard_map(
+        wave_local,
+        mesh=mesh,
+        in_specs=(
+            Film(P(), P()),              # film (replicated pytree leaves)
+            P(), P(), P(),               # density, majorant, sample_idx
+            P(axis_name), P(axis_name),  # pix, pixidx
+        ),
+        out_specs=Film(P(), P()),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def render_wave(film: Film, density, majorant, sample_idx):
+        return smapped(
+            film, density, majorant,
+            jnp.asarray(sample_idx, jnp.uint32), pix_const, pixidx_const,
+        )
+
+    return render_wave, density_const, majorant_const
+
+
+def render_sharded(scene, mesh: Optional[Mesh] = None, spp: Optional[int] = None):
+    import time
+
+    from ..models.film import Film
+
+    mesh = mesh or make_mesh()
+    spp = spp if spp is not None else scene.spp
+    H, W = scene.height, scene.width
+    render_wave, density, majorant = make_sharded_wave_renderer(scene, mesh)
+    film = Film.create(H, W)
+    t0 = time.time()
+    for s in range(spp):
+        film = render_wave(film, density, majorant, s)
+    jax.block_until_ready(film)
+    dt = time.time() - t0
+    img = np.asarray(film.to_image())
+    return img, {"render_time": dt, "spp": spp,
+                 "rays_per_sec": H * W * spp / dt,
+                 "n_devices": int(np.prod(mesh.devices.shape))}

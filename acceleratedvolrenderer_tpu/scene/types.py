@@ -1,0 +1,41 @@
+"""Scene description — the BasicScene equivalent.
+
+Reference: src/pbrt/scene.{h,cpp} (BasicScene scene.h:260 holding entity
+lists; CreateMedia scene.cpp:838, CreateIntegrator scene.cpp:857).  Here a
+scene is a frozen host-side dataclass the render driver closes over; all
+device data is resolved per-wave inside jit.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..models.cameras import PerspectiveCamera
+from ..models.film import GaussianFilter
+from ..models.media import MediumSpec
+
+
+@dataclass
+class Scene:
+    camera: object                       # PerspectiveCamera / Orthographic / Spherical
+    medium: Optional[MediumSpec] = None
+    lights: List = field(default_factory=list)
+    max_depth: int = 5
+    filter: object = field(default_factory=GaussianFilter)
+    scene_radius: float = 1e4
+    # sampling
+    spp: int = 16
+    seed: int = 0
+    max_march_steps: int = 100000
+    # surfaces (round-1: optional simple primitive list, models.shapes)
+    primitives: List = field(default_factory=list)
+
+    @property
+    def width(self):
+        return self.camera.width
+
+    @property
+    def height(self):
+        return self.camera.height

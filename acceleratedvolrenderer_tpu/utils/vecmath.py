@@ -1,0 +1,282 @@
+"""Vector / transform / bounds math on [..., 3] jnp arrays.
+
+Reference: src/pbrt/util/vecmath.h (1941 LoC of templated Vector3/Point3/
+Normal3/Transform classes).  TPU-native design: no wrapper classes — vectors
+are plain arrays with a trailing xyz axis so every op vectorizes over
+arbitrary ray-batch leading dims, and transforms are (4,4) matrices kept with
+their inverses in a small pytree.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .math import safe_sqrt
+
+
+# ---------------------------------------------------------------------------
+# vectors
+# ---------------------------------------------------------------------------
+
+def dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def absdot(a, b):
+    return jnp.abs(dot(a, b))
+
+
+def cross(a, b):
+    return jnp.cross(a, b)
+
+
+def length_squared(v):
+    return dot(v, v)
+
+
+def length(v):
+    return jnp.sqrt(length_squared(v))
+
+
+def normalize(v):
+    return v / jnp.maximum(length(v)[..., None], 1e-24)
+
+
+def distance(a, b):
+    return length(a - b)
+
+
+def face_forward(n, v):
+    """Flip n so it lies in the same hemisphere as v."""
+    return jnp.where((dot(n, v) < 0.0)[..., None], -n, n)
+
+
+def coordinate_system(v):
+    """Build an orthonormal basis (v, t, b) from a unit vector v.
+
+    Branchless Duff et al. 2017 construction (same algorithm as the
+    reference's CoordinateSystem, vecmath.h)."""
+    sign = jnp.where(v[..., 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + v[..., 2])
+    b = v[..., 0] * v[..., 1] * a
+    t = jnp.stack(
+        [1.0 + sign * v[..., 0] * v[..., 0] * a, sign * b, -sign * v[..., 0]],
+        axis=-1,
+    )
+    bt = jnp.stack([b, sign + v[..., 1] * v[..., 1] * a, -v[..., 1]], axis=-1)
+    return t, bt
+
+
+def spherical_direction(sin_theta, cos_theta, phi):
+    sin_theta = jnp.clip(sin_theta, -1.0, 1.0)
+    cos_theta = jnp.clip(cos_theta, -1.0, 1.0)
+    return jnp.stack(
+        [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1
+    )
+
+
+def spherical_theta(v):
+    return jnp.arccos(jnp.clip(v[..., 2], -1.0, 1.0))
+
+
+def spherical_phi(v):
+    p = jnp.arctan2(v[..., 1], v[..., 0])
+    return jnp.where(p < 0.0, p + 2.0 * np.pi, p)
+
+
+def frame_from_z(z):
+    """Local frame whose +z is the given unit vector; returns (x, y, z)."""
+    x, y = coordinate_system(z)
+    return x, y, z
+
+
+def to_local(x, y, z, v):
+    return jnp.stack([dot(v, x), dot(v, y), dot(v, z)], axis=-1)
+
+
+def from_local(x, y, z, v):
+    return (
+        v[..., 0:1] * x + v[..., 1:2] * y + v[..., 2:3] * z
+    )
+
+
+# ---------------------------------------------------------------------------
+# transforms: (4,4) matrix + inverse as a NamedTuple pytree
+# ---------------------------------------------------------------------------
+
+class Transform(NamedTuple):
+    m: jnp.ndarray      # (4, 4)
+    m_inv: jnp.ndarray  # (4, 4)
+
+    def __matmul__(self, other: "Transform") -> "Transform":
+        return Transform(self.m @ other.m, other.m_inv @ self.m_inv)
+
+    def inverse(self) -> "Transform":
+        return Transform(self.m_inv, self.m)
+
+    def apply_point(self, p):
+        r = p @ self.m[:3, :3].T + self.m[:3, 3]
+        w = p @ self.m[3, :3].T + self.m[3, 3]
+        return r / w[..., None]
+
+    def apply_vector(self, v):
+        return v @ self.m[:3, :3].T
+
+    def apply_normal(self, n):
+        # normals transform by the inverse transpose
+        return n @ self.m_inv[:3, :3]
+
+    def apply_ray(self, o, d):
+        return self.apply_point(o), self.apply_vector(d)
+
+
+def identity_transform() -> Transform:
+    return Transform(jnp.eye(4, dtype=jnp.float32), jnp.eye(4, dtype=jnp.float32))
+
+
+def translate(delta) -> Transform:
+    delta = np.asarray(delta, np.float32)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = delta
+    mi = np.eye(4, dtype=np.float32)
+    mi[:3, 3] = -delta
+    return Transform(jnp.asarray(m), jnp.asarray(mi))
+
+
+def scale(s) -> Transform:
+    s = np.broadcast_to(np.asarray(s, np.float32), (3,))
+    m = np.diag(np.concatenate([s, [1.0]]).astype(np.float32))
+    mi = np.diag(np.concatenate([1.0 / s, [1.0]]).astype(np.float32))
+    return Transform(jnp.asarray(m), jnp.asarray(mi))
+
+
+def rotate(angle_deg: float, axis) -> Transform:
+    a = np.asarray(axis, np.float64)
+    a = a / np.linalg.norm(a)
+    theta = np.deg2rad(angle_deg)
+    s, c = np.sin(theta), np.cos(theta)
+    m = np.eye(4)
+    x, y, z = a
+    m[0, 0] = x * x + (1 - x * x) * c
+    m[0, 1] = x * y * (1 - c) - z * s
+    m[0, 2] = x * z * (1 - c) + y * s
+    m[1, 0] = x * y * (1 - c) + z * s
+    m[1, 1] = y * y + (1 - y * y) * c
+    m[1, 2] = y * z * (1 - c) - x * s
+    m[2, 0] = x * z * (1 - c) - y * s
+    m[2, 1] = y * z * (1 - c) + x * s
+    m[2, 2] = z * z + (1 - z * z) * c
+    return Transform(jnp.asarray(m, jnp.float32), jnp.asarray(m.T, jnp.float32))
+
+
+def look_at(eye, look, up) -> Transform:
+    """Camera-to-world transform (pbrt LookAt semantics: left-handed,
+    +z into the screen)."""
+    eye = np.asarray(eye, np.float64)
+    look = np.asarray(look, np.float64)
+    up = np.asarray(up, np.float64)
+    d = look - eye
+    d = d / np.linalg.norm(d)
+    right = np.cross(up / np.linalg.norm(up), d)
+    nr = np.linalg.norm(right)
+    if nr < 1e-12:
+        raise ValueError("LookAt: up vector parallel to viewing direction")
+    right = right / nr
+    new_up = np.cross(d, right)
+    c2w = np.eye(4)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = new_up
+    c2w[:3, 2] = d
+    c2w[:3, 3] = eye
+    return Transform(
+        jnp.asarray(c2w, jnp.float32), jnp.asarray(np.linalg.inv(c2w), jnp.float32)
+    )
+
+
+def perspective(fov_deg: float, z_near: float = 1e-2, z_far: float = 1000.0) -> Transform:
+    """Camera-to-NDC projective transform (pbrt Perspective, cameras.cpp)."""
+    persp = np.zeros((4, 4))
+    persp[0, 0] = persp[1, 1] = 1.0
+    persp[2, 2] = z_far / (z_far - z_near)
+    persp[2, 3] = -z_far * z_near / (z_far - z_near)
+    persp[3, 2] = 1.0
+    inv_tan = 1.0 / np.tan(np.deg2rad(fov_deg) / 2.0)
+    s = np.diag([inv_tan, inv_tan, 1.0, 1.0])
+    m = s @ persp
+    return Transform(jnp.asarray(m, jnp.float32), jnp.asarray(np.linalg.inv(m), jnp.float32))
+
+
+def transform_from_matrix(m) -> Transform:
+    m = np.asarray(m, np.float64).reshape(4, 4)
+    return Transform(jnp.asarray(m, jnp.float32), jnp.asarray(np.linalg.inv(m), jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# bounds
+# ---------------------------------------------------------------------------
+
+class Bounds3(NamedTuple):
+    lo: jnp.ndarray  # (..., 3)
+    hi: jnp.ndarray  # (..., 3)
+
+    @property
+    def diagonal(self):
+        return self.hi - self.lo
+
+    def offset(self, p):
+        """Continuous [0,1]^3 coordinates of p inside the bounds."""
+        return (p - self.lo) / jnp.maximum(self.hi - self.lo, 1e-24)
+
+    def lerp_point(self, t):
+        return self.lo + t * (self.hi - self.lo)
+
+    def contains(self, p):
+        return jnp.all((p >= self.lo) & (p <= self.hi), axis=-1)
+
+
+def bounds_union(a: Bounds3, b: Bounds3) -> Bounds3:
+    return Bounds3(jnp.minimum(a.lo, b.lo), jnp.maximum(a.hi, b.hi))
+
+
+def intersect_aabb(o, d, t_max, lo, hi):
+    """Slab-test ray/AABB intersection.
+
+    Returns (hit, t0, t1) with t0 >= 0 clamped; vectorized over leading dims.
+    Reference: Bounds3::IntersectP (vecmath.h) — here branchless with inf
+    handling via jnp.where so it fuses into ray-march kernels.
+    """
+    inv_d = 1.0 / d  # inf where d == 0 is fine under IEEE
+    t_lo = (lo - o) * inv_d
+    t_hi = (hi - o) * inv_d
+    t_near = jnp.minimum(t_lo, t_hi)
+    t_far = jnp.maximum(t_lo, t_hi)
+    # NaNs appear when o on the slab boundary and d == 0 -> 0 * inf; kill them
+    t_near = jnp.where(jnp.isnan(t_near), -jnp.inf, t_near)
+    t_far = jnp.where(jnp.isnan(t_far), jnp.inf, t_far)
+    t0 = jnp.max(t_near, axis=-1)
+    t1 = jnp.min(t_far, axis=-1)
+    # pbrt scales t_far by (1 + 4 eps) for conservative robustness
+    t1 = t1 * (1.0 + 4.0 * np.finfo(np.float32).eps)
+    hit = (t0 <= t1) & (t1 > 0.0) & (t0 < t_max)
+    t0 = jnp.maximum(t0, 0.0)
+    return hit, t0, jnp.minimum(t1, t_max)
+
+
+def equal_area_square_to_sphere(p):
+    """Low-distortion [0,1]^2 -> S^2 mapping (Clarberg 2008), used by
+    pbrt's infinite image lights. p: (..., 2)."""
+    u = 2.0 * p[..., 0] - 1.0
+    v = 2.0 * p[..., 1] - 1.0
+    up = jnp.abs(u)
+    vp = jnp.abs(v)
+    sd = 1.0 - (up + vp)
+    d = jnp.abs(sd)
+    r = 1.0 - d
+    phi = jnp.where(r == 0.0, 1.0, (vp - up) / jnp.maximum(r, 1e-24) + 1.0) * np.pi / 4.0
+    z = jnp.copysign(1.0 - r * r, sd)
+    cos_phi = jnp.copysign(jnp.cos(phi), u)
+    sin_phi = jnp.copysign(jnp.sin(phi), v)
+    rr = r * safe_sqrt(2.0 - r * r)
+    return jnp.stack([cos_phi * rr, sin_phi * rr, z], axis=-1)

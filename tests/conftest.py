@@ -1,0 +1,26 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+All tests run on CPU with XLA host-platform device virtualization so
+multi-device sharding paths (parallel/) are exercised without TPU hardware,
+mirroring how the driver validates `dryrun_multichip`.
+"""
+import os
+
+# hard-set: the ambient environment exports JAX_PLATFORMS=axon (TPU tunnel);
+# tests must run on the virtual multi-device CPU backend
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# the axon TPU plugin overrides the JAX_PLATFORMS env var; the config update
+# after import reliably forces the CPU backend
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+# persistent compile cache: the fused march kernels take ~30s to build on the
+# CPU backend; cache them across pytest runs
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -1,0 +1,84 @@
+"""Spectral representation tests (pattern: reference spectrum_test.cpp)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acceleratedvolrenderer_tpu.utils import spectrum as sp
+from acceleratedvolrenderer_tpu.utils import colorspace as cs
+
+
+def test_cie_y_integral():
+    lam = jnp.arange(sp.LAMBDA_MIN, sp.LAMBDA_MAX + 1.0, 1.0)
+    integral = float(jnp.sum(sp.cie_y(lam)))
+    # analytic fit: within ~1.5% of the tabulated CIE_Y_integral
+    assert abs(integral - sp.CIE_Y_INTEGRAL) / sp.CIE_Y_INTEGRAL < 0.015
+
+
+def test_sample_wavelengths_in_range():
+    u = jnp.linspace(0.0, 0.999, 64)
+    swl = sp.sample_wavelengths_uniform(u)
+    assert swl.lam.shape == (64, sp.N_SPECTRUM_SAMPLES)
+    assert float(swl.lam.min()) >= sp.LAMBDA_MIN
+    assert float(swl.lam.max()) <= sp.LAMBDA_MAX
+    np.testing.assert_allclose(
+        np.asarray(swl.pdf), 1.0 / (sp.LAMBDA_MAX - sp.LAMBDA_MIN), rtol=1e-6
+    )
+    swl_v = sp.sample_wavelengths_visible(u)
+    assert float(swl_v.lam.min()) >= sp.LAMBDA_MIN - 1.0
+    assert float(swl_v.lam.max()) <= sp.LAMBDA_MAX + 1.0
+    assert float(swl_v.pdf.min()) > 0.0
+
+
+def test_visible_pdf_normalized():
+    lam = jnp.arange(sp.LAMBDA_MIN, sp.LAMBDA_MAX + 1.0, 0.5)
+    pdf = sp._visible_pdf(lam)
+    integral = float(jnp.sum(pdf) * 0.5)
+    assert abs(integral - 1.0) < 1e-2
+
+
+def test_constant_spectrum_to_xyz_white():
+    """A spectrally flat radiance of 1 should give Y == 1/CIE_Y_integral * integral(y)
+    i.e. luminance ~1 after normalization; MC over many wavelength samples."""
+    key = jax.random.PRNGKey(0)
+    u = jax.random.uniform(key, (4096,))
+    swl = sp.sample_wavelengths_visible(u)
+    vals = jnp.ones_like(swl.lam)
+    xyz = sp.to_xyz(vals, swl)
+    mean_xyz = np.asarray(jnp.mean(xyz, axis=0))
+    # equal-energy illuminant: X ~ Y ~ Z ~ 1.0 within fit tolerance + MC noise
+    assert abs(mean_xyz[1] - 1.0) < 0.02, mean_xyz
+
+
+def test_terminate_secondary():
+    u = jnp.array([0.3])
+    swl = sp.sample_wavelengths_uniform(u)
+    t = swl.terminate_secondary()
+    assert np.all(np.asarray(t.pdf[..., 1:]) == 0.0)
+    np.testing.assert_allclose(
+        np.asarray(t.pdf[..., 0]), np.asarray(swl.pdf[..., 0]) / sp.N_SPECTRUM_SAMPLES
+    )
+    # idempotent
+    t2 = t.terminate_secondary()
+    np.testing.assert_allclose(np.asarray(t2.pdf), np.asarray(t.pdf))
+
+
+def test_rgb_albedo_roundtrip_gray():
+    f = sp.rgb_albedo_spectrum([0.5, 0.5, 0.5])
+    lam = jnp.linspace(420.0, 680.0, 64)
+    vals = np.asarray(f(lam))
+    assert np.all(vals > 0.4) and np.all(vals < 0.6)
+
+
+def test_blackbody_wien_peak():
+    bb = sp.blackbody_normalized(6000.0)
+    lam = jnp.arange(sp.LAMBDA_MIN, sp.LAMBDA_MAX, 1.0)
+    v = np.asarray(bb(lam))
+    peak_lam = float(lam[np.argmax(v)])
+    assert abs(peak_lam - 2.8977721e-3 / 6000.0 * 1e9) < 2.0
+    assert abs(v.max() - 1.0) < 1e-3
+
+
+def test_srgb_roundtrip():
+    rgb = jnp.asarray(np.random.default_rng(0).random((32, 3)), jnp.float32)
+    back = cs.xyz_to_rgb(cs.rgb_to_xyz(rgb))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-4)

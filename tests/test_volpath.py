@@ -1,0 +1,136 @@
+"""End-to-end analytic scene tests for the VolPath integrator.
+
+Pattern: reference cpu/integrators_test.cpp — closed scenes with known total
+radiance, rendered end-to-end at tiny resolution, per-pixel/scene average
+within tolerance (CheckSceneAverage +-0.025).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acceleratedvolrenderer_tpu.models import lights as lm
+from acceleratedvolrenderer_tpu.models.cameras import PerspectiveCamera
+from acceleratedvolrenderer_tpu.models.film import BoxFilter
+from acceleratedvolrenderer_tpu.models.media import homogeneous_box
+from acceleratedvolrenderer_tpu.parallel import render as render_mod
+from acceleratedvolrenderer_tpu.scene import Scene
+from acceleratedvolrenderer_tpu.utils import spectrum as sp
+from acceleratedvolrenderer_tpu.utils import vecmath as vm
+
+
+def flat(c):
+    return sp.constant_spectrum(c)
+
+
+def lum(img):
+    """Rec.709 luminance == CIE Y (exactly preserved through the XYZ->sRGB
+    matrix), white-point independent — the right quantity for analytic
+    checks with equal-energy spectra."""
+    return img @ np.array([0.2126, 0.7152, 0.0722])
+
+
+def make_camera(res=16, eye=(0.5, 0.5, -2.0), look=(0.5, 0.5, 0.5)):
+    return PerspectiveCamera(
+        c2w=vm.look_at(eye, look, (0, 1, 0)), fov_deg=30.0, width=res, height=res
+    )
+
+
+def test_scattering_furnace():
+    """Closed furnace: albedo-1 medium inside a uniform environment of
+    radiance 1 => L == 1 everywhere (checks NEE + MIS + phase sampling
+    weights cancel exactly)."""
+    med = homogeneous_box(flat(0.0), flat(0.5), lo=(0, 0, 0), hi=(1, 1, 1), g=0.0)
+    scene = Scene(
+        camera=make_camera(8),
+        medium=med,
+        lights=[lm.UniformInfiniteLight(spectrum=flat(1.0), scale=1.0)],
+        max_depth=40,
+        filter=BoxFilter(),
+        spp=128,
+    )
+    img, stats = render_mod.render(scene)
+    avg = lum(img).mean()
+    assert abs(avg - 1.0) < 0.025, avg
+    # also per-pixel
+    assert np.abs(lum(img) - 1.0).max() < 0.08
+
+
+def test_scattering_furnace_anisotropic():
+    """Furnace must hold for any phase asymmetry g."""
+    med = homogeneous_box(flat(0.0), flat(1.0), lo=(0, 0, 0), hi=(1, 1, 1), g=0.6)
+    scene = Scene(
+        camera=make_camera(8),
+        medium=med,
+        lights=[lm.UniformInfiniteLight(spectrum=flat(1.0))],
+        max_depth=50,
+        filter=BoxFilter(),
+        spp=128,
+    )
+    img, _ = render_mod.render(scene)
+    assert abs(lum(img).mean() - 1.0) < 0.025, lum(img).mean()
+
+
+def test_absorption_against_environment():
+    """Pure absorber in front of a radiance-1 environment:
+    pixel = exp(-tau) with tau = sigma_a * chord length."""
+    sa = 1.5
+    med = homogeneous_box(flat(sa), flat(0.0), lo=(0, 0, 0), hi=(1, 1, 1))
+    cam = make_camera(8, eye=(0.5, 0.5, -3.0))
+    scene = Scene(
+        camera=cam, medium=med,
+        lights=[lm.UniformInfiniteLight(spectrum=flat(1.0))],
+        max_depth=5, filter=BoxFilter(), spp=256,
+    )
+    img, _ = render_mod.render(scene)
+    # central pixels pass straight through the unit cube (fov small enough):
+    center = lum(img)[3:5, 3:5].mean()
+    # chord length ~ 1/cos(theta) ~ 1 for center pixels
+    assert abs(center - np.exp(-sa)) < 0.02, (center, np.exp(-sa))
+
+
+def test_emissive_medium():
+    """Emissive absorbing medium: L = Le * (1 - exp(-sigma_a * chord))."""
+    sa, le = 2.0, 3.0
+    med = homogeneous_box(flat(sa), flat(0.0), lo=(0, 0, 0), hi=(1, 1, 1),
+                          Le_spec=flat(le))
+    scene = Scene(
+        camera=make_camera(8, eye=(0.5, 0.5, -3.0)), medium=med, lights=[],
+        max_depth=5, filter=BoxFilter(), spp=256,
+    )
+    img, _ = render_mod.render(scene)
+    center = lum(img)[3:5, 3:5].mean()
+    expect = le * (1.0 - np.exp(-sa))
+    assert abs(center - expect) / expect < 0.03, (center, expect)
+
+
+def test_single_scatter_distant_light():
+    """Optically thin slab + distant light: semi-analytic single scattering.
+
+    For sigma_s -> 0, multiple scattering is negligible and
+    L ~ integral_0^1 sigma_s * p(cos) * T_light(t) * E dt with T ~ 1.
+    Isotropic phase => p = 1/4pi; light perpendicular to view."""
+    ss = 0.02
+    med = homogeneous_box(flat(0.0), flat(ss), lo=(0, 0, 0), hi=(1, 1, 1))
+    E = 10.0
+    light = lm.DistantLight(
+        direction=np.array([0.0, -1.0, 0.0]), spectrum=flat(E), scene_radius=10.0
+    )
+    scene = Scene(
+        camera=make_camera(8, eye=(0.5, 0.5, -3.0)), medium=med, lights=[light],
+        max_depth=8, filter=BoxFilter(), spp=512,
+    )
+    img, _ = render_mod.render(scene)
+    center = lum(img)[3:5, 3:5].mean()
+    # first-order: chord ~1, transmittances ~ exp(-ss * path) ~ 1
+    expect = ss * 1.0 / (4 * np.pi) * E
+    assert abs(center - expect) / expect < 0.08, (center, expect)
+
+
+def test_no_medium_environment_only():
+    scene = Scene(
+        camera=make_camera(4), medium=None,
+        lights=[lm.UniformInfiniteLight(spectrum=flat(0.7))],
+        filter=BoxFilter(), spp=32,
+    )
+    img, _ = render_mod.render(scene)
+    np.testing.assert_allclose(lum(img).mean(), 0.7, atol=0.02)
