@@ -1,0 +1,117 @@
+"""Renderer CLI — the `pbrt` equivalent.
+
+Reference: src/pbrt/cmd/pbrt.cpp (arg parsing :124-223 incl. the fork's
+--graph-data / --graph-debug / --integrator / --maxdepth flags :211-214,
+:103-106; InitPBRT; ParseFiles; RenderCPU).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="avrt-pbrt",
+        description="TPU-native volumetric renderer (pbrt-compatible subset)",
+    )
+    ap.add_argument("scene", help=".pbrt scene file or preset: "
+                    "preset:cloud / preset:fog_box / preset:emissive / preset:sphere")
+    ap.add_argument("--outfile", "-o", default=None, help="output EXR path")
+    ap.add_argument("--spp", type=int, default=None, help="samples per pixel")
+    ap.add_argument("--maxdepth", type=int, default=None)
+    ap.add_argument("--integrator", default=None,
+                    help="volpath (default) | simplevolpath | graph")
+    ap.add_argument("--graph-data", default=None,
+                    help="precomputed graph file (.txt or .npz) for --integrator graph")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--stats", action="store_true", help="print render statistics")
+    ap.add_argument("--write-png", action="store_true")
+    ap.add_argument("--mse-reference-image", default=None,
+                    help="EXR to compute MSE against (stored in output metadata)")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--res", default=None, help="override WxH, e.g. 640x360")
+    args = ap.parse_args(argv)
+
+    import os
+
+    if args.cpu:
+        os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "..", "..", ".jax_cache"))
+
+    from ..scene import presets
+    from ..scene.parser import load_scene
+
+    if args.scene.startswith("preset:"):
+        name = args.scene.split(":", 1)[1]
+        kw = {}
+        if args.res:
+            w, h = args.res.split("x")
+            if name == "cloud":
+                kw = {"width": int(w), "height": int(h)}
+            else:
+                kw = {"res": int(w)}
+        scene = {
+            "cloud": presets.cloud,
+            "fog_box": presets.fog_box,
+            "emissive": presets.emissive_volume,
+            "sphere": presets.sphere_medium,
+        }[name](**kw)
+    else:
+        scene = load_scene(args.scene)
+
+    if args.spp is not None:
+        scene.spp = args.spp
+    if args.maxdepth is not None:
+        scene.max_depth = args.maxdepth
+    scene.seed = args.seed
+
+    from ..parallel import render as render_mod
+
+    t0 = time.time()
+    if args.integrator == "graph":
+        if not args.graph_data:
+            ap.error("--integrator graph requires --graph-data")
+        from ..graph.model import Graph
+
+        graph = (Graph.read_npz(args.graph_data) if args.graph_data.endswith(".npz")
+                 else Graph.read_text(args.graph_data))
+        img, stats = render_mod.render_graph(scene, graph)
+    else:
+        img, stats = render_mod.render(scene)
+
+    mse_val = None
+    if args.mse_reference_image:
+        from ..utils.image import mse, read_exr
+
+        ref, _, _ = read_exr(args.mse_reference_image)
+        if ref.shape[:2] == img.shape[:2]:
+            mse_val = mse(img, ref[:, :, :3])
+
+    out = args.outfile or "out.exr"
+    from ..models.film import write_film
+
+    write_film(out, img, render_time=stats["render_time"], spp=stats["spp"],
+               mse=mse_val)
+    if args.write_png:
+        from ..utils.image import write_png
+
+        write_png(out.rsplit(".", 1)[0] + ".png", img)
+    if args.stats:
+        print(json.dumps({**stats, "mse": mse_val, "outfile": out}))
+    else:
+        print(f"wrote {out} ({stats['render_time']:.1f}s, "
+              f"{stats['rays_per_sec'] / 1e6:.3f} Mrays/s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

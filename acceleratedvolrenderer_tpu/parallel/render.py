@@ -71,7 +71,6 @@ def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
         rng, ul = dda.pcg_uniform(rng)
         swl = sp.sample_wavelengths_visible(ul)
 
-        rng, uc = dda.pcg_uniform(rng)
         o, d = cam.generate_rays(pix, off, None)
 
         if med_spec is not None:
@@ -114,6 +113,88 @@ def render(scene, spp: Optional[int] = None, progress: bool = False):
         if progress and (s & (s + 1)) == 0:
             jax.block_until_ready(film)
             print(f"  wave {s + 1}/{spp}  {time.time() - t0:.1f}s", flush=True)
+    jax.block_until_ready(film)
+    dt = time.time() - t0
+    img = np.asarray(film.to_image())
+    return img, {"render_time": dt, "spp": spp, "rays_per_sec": H * W * spp / dt}
+
+
+def make_graph_wave_renderer(scene, graph):
+    """Wave renderer using the graph-cache integrator ("graph" in the
+    reference integrator factory, cpu/integrators.cpp:3697).
+
+    `graph` is a graph.model.Graph with light_scalar populated; the light
+    spectrum comes from the scene's first delta light (the reference samples
+    the distant light's spectrum, graph_integrator.cpp:243).
+    """
+    from ..models.integrators import graph as graph_integrator
+
+    cam = scene.camera
+    H, W = cam.height, cam.width
+    med_spec = scene.medium
+    homogeneous = med_spec.homogeneous
+    maj_res = med_spec.maj_res()
+    filt = scene.filter
+    index = graph_integrator.build_connect_index(graph)
+    light = next(lt for lt in scene.lights if lt.is_delta)
+
+    if not homogeneous:
+        density_const = jnp.asarray(med_spec.density, jnp.float32)
+        from ..ops import grid as gridops
+
+        majorant_const = jnp.asarray(
+            gridops.build_majorant_grid(np.asarray(med_spec.density), maj_res)
+        )
+    else:
+        density_const = jnp.ones((1, 1, 1), jnp.float32)
+        majorant_const = jnp.ones((1, 1, 1), jnp.float32)
+
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    pixel_xy_const = jnp.asarray(
+        np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1), jnp.int32
+    )
+    pixel_index_const = jnp.arange(H * W, dtype=jnp.uint32)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def render_wave(film: Film, density, majorant, sample_idx):
+        N = H * W
+        pix = pixel_xy_const
+        rng = dda.seed_stream(pixel_index_const,
+                              jnp.full((N,), sample_idx, jnp.uint32),
+                              salt=scene.seed)
+        rng, ua = dda.pcg_uniform(rng)
+        rng, ub = dda.pcg_uniform(rng)
+        off = filt.sample_offset(jnp.stack([ua, ub], -1)) + 0.5
+        rng, ul = dda.pcg_uniform(rng)
+        swl = sp.sample_wavelengths_visible(ul)
+        o, d = cam.generate_rays(pix, off, None)
+        sa = med_spec.sigma_a_spec(swl.lam) * med_spec.scale
+        ss = med_spec.sigma_s_spec(swl.lam) * med_spec.scale
+        med = dda.MediumArrays(
+            density=density, majorant=majorant,
+            w2m=jnp.asarray(med_spec.world_to_unit(), jnp.float32),
+            g=jnp.float32(med_spec.g), sigma_a=sa, sigma_s=ss,
+            Le=jnp.zeros_like(swl.lam),
+        )
+        light_spec = light.spectrum(swl.lam) * light.scale
+        L = graph_integrator.li(
+            med, index, light_spec, o, d, swl.lam, rng,
+            maj_res=maj_res, homogeneous=homogeneous,
+            max_march_steps=scene.max_march_steps,
+        )
+        return film.add_samples(pix, L, swl)
+
+    return render_wave, density_const, majorant_const
+
+
+def render_graph(scene, graph, spp=None):
+    spp = spp if spp is not None else scene.spp
+    H, W = scene.height, scene.width
+    render_wave, density, majorant = make_graph_wave_renderer(scene, graph)
+    film = Film.create(H, W)
+    t0 = time.time()
+    for s in range(spp):
+        film = render_wave(film, density, majorant, jnp.uint32(s))
     jax.block_until_ready(film)
     dt = time.time() - t0
     img = np.asarray(film.to_image())

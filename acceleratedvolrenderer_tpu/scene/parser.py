@@ -1,0 +1,515 @@
+""".pbrt scene-description parser (subset) + scene builder.
+
+Reference: src/pbrt/parser.{h,cpp} (Tokenizer parser.h:124, ParserTarget
+statement callbacks parser.h:25) and scene.{h,cpp} (BasicSceneBuilder's
+graphics-state machine scene.h:382, BasicScene entity lists scene.h:260,
+CreateMedia scene.cpp:838).
+
+Subset covering the reference's evaluation scenes (disney-cloud, cube,
+sphere configs): LookAt/Translate/Scale/Rotate/Transform/ConcatTransform
+CTM stack, Camera "perspective"/"orthographic"/"spherical",
+Film "rgb"/"gbuffer"/"spectral" (resolution/filename), PixelFilter,
+Sampler (name + pixelsamples; samplers are counter-based here so the name
+is advisory), Integrator (+maxdepth), WorldBegin, AttributeBegin/End,
+LightSource "distant"/"infinite"/"point"/"spot",
+MakeNamedMedium "uniformgrid"/"homogeneous" (+ density array, p0/p1,
+sigma_a/sigma_s/scale/g/Le), MediumInterface, Material (diffuse subset,
+"" = none/interface), Shape "sphere" (as medium bound), Include, Import.
+
+Unknown directives warn and skip their parameter lists, so upstream scenes
+parse as far as the supported feature set allows.
+"""
+from __future__ import annotations
+
+import os
+import re
+import warnings
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..models import lights as lm
+from ..models.cameras import OrthographicCamera, PerspectiveCamera, SphericalCamera
+from ..models.film import BoxFilter, GaussianFilter, TriangleFilter
+from ..models.media import MediumSpec
+from ..utils import spectrum as sp
+from ..utils import vecmath as vmu
+from .types import Scene
+
+_DIRECTIVES = {
+    "LookAt", "Translate", "Scale", "Rotate", "Transform", "ConcatTransform",
+    "Identity", "Camera", "Film", "PixelFilter", "Sampler", "Integrator",
+    "WorldBegin", "WorldEnd", "AttributeBegin", "AttributeEnd",
+    "TransformBegin", "TransformEnd", "ObjectBegin", "ObjectEnd",
+    "ObjectInstance", "LightSource", "AreaLightSource", "MakeNamedMedium",
+    "MediumInterface", "Material", "MakeNamedMaterial", "NamedMaterial",
+    "Texture", "Shape", "Include", "Import", "Option", "ReverseOrientation",
+    "CoordinateSystem", "CoordSysTransform", "Accelerator", "ColorSpace",
+    "Attribute",
+}
+
+
+def tokenize(text: str):
+    """pbrt tokenizer (parser.h:124): whitespace-separated; quoted strings;
+    [ ] as separate tokens; # comments to end of line."""
+    tokens = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in " \t\r\n":
+            i += 1
+        elif c == "#":
+            j = text.find("\n", i)
+            i = n if j < 0 else j
+        elif c == '"':
+            j = text.find('"', i + 1)
+            if j < 0:
+                raise ValueError("unterminated string")
+            tokens.append(text[i: j + 1])
+            i = j + 1
+        elif c in "[]":
+            tokens.append(c)
+            i += 1
+        else:
+            j = i
+            while j < n and text[j] not in ' \t\r\n"[]#':
+                j += 1
+            tokens.append(text[i:j])
+            i = j
+    return tokens
+
+
+def _parse_params(tokens, pos):
+    """Parse a pbrt parameter list: '"type name" [values]'* returning
+    (dict name -> (type, values), new_pos)."""
+    params = {}
+    n = len(tokens)
+    while pos < n:
+        t = tokens[pos]
+        if not (t.startswith('"') and " " in t):
+            break
+        decl = t[1:-1]
+        ptype, pname = decl.split(None, 1)
+        pos += 1
+        vals = []
+        if pos < n and tokens[pos] == "[":
+            pos += 1
+            while pos < n and tokens[pos] != "]":
+                vals.append(tokens[pos])
+                pos += 1
+            pos += 1  # ']'
+        elif pos < n:
+            vals.append(tokens[pos])
+            pos += 1
+        params[pname] = (ptype, vals)
+    return params, pos
+
+
+def _floats(vals):
+    return [float(v) for v in vals]
+
+
+def _to_spectrum(ptype, vals):
+    """Parameter -> spectrum callable."""
+    if ptype in ("rgb", "color"):
+        return sp.rgb_albedo_spectrum(_floats(vals))
+    if ptype == "blackbody":
+        return sp.blackbody_normalized(float(vals[0]))
+    if ptype == "float" and len(vals) == 1:
+        return sp.constant_spectrum(float(vals[0]))
+    if ptype == "spectrum":
+        if len(vals) == 1 and vals[0].startswith('"'):
+            name = vals[0][1:-1]
+            warnings.warn(f"named spectrum '{name}' approximated as constant 1")
+            return sp.constant_spectrum(1.0)
+        pairs = _floats(vals)
+        lam = np.asarray(pairs[0::2], np.float32)
+        v = np.asarray(pairs[1::2], np.float32)
+
+        def f(x):
+            import jax.numpy as jnp
+
+            return jnp.interp(x, jnp.asarray(lam), jnp.asarray(v))
+
+        return f
+    return sp.constant_spectrum(float(vals[0]))
+
+
+@dataclass
+class _GState:
+    ctm: np.ndarray = field(default_factory=lambda: np.eye(4))
+    material: Optional[str] = "diffuse"
+    inside_medium: Optional[str] = None
+    outside_medium: Optional[str] = None
+    reverse_orientation: bool = False
+
+
+class PbrtParser:
+    """Tokenizer-driven builder producing a Scene (ParserTarget +
+    BasicSceneBuilder in one, scene.h:382)."""
+
+    def __init__(self, base_dir="."):
+        self.base_dir = base_dir
+        self.state = _GState()
+        self.stack: List[_GState] = []
+        self.named_media: Dict[str, MediumSpec] = {}
+        self.lights: List = []
+        self.camera = None
+        self.cam_kind = "perspective"
+        self.cam_params = {}
+        self.camera_ctm = np.eye(4)
+        self.film_res = (1280, 720)
+        self.film_name = "out.exr"
+        self.filter = GaussianFilter()
+        self.integrator = "volpath"
+        self.max_depth = 5
+        self.spp = 16
+        self.world = False
+        self.camera_medium: Optional[str] = None
+        self.shapes = []
+
+    # -------------------------------------------------------------- driving
+    def parse_file(self, path: str) -> Scene:
+        with open(path) as f:
+            text = f.read()
+        self.base_dir = os.path.dirname(os.path.abspath(path))
+        self.parse_tokens(tokenize(text))
+        return self.build()
+
+    def parse_string(self, text: str) -> Scene:
+        self.parse_tokens(tokenize(text))
+        return self.build()
+
+    def parse_tokens(self, tokens):
+        pos = 0
+        n = len(tokens)
+        while pos < n:
+            tok = tokens[pos]
+            pos += 1
+            handler = getattr(self, f"_h_{tok}", None)
+            if handler is None:
+                if tok in _DIRECTIVES:
+                    # recognized but unsupported: skip its parameter list
+                    if pos < n and tokens[pos].startswith('"'):
+                        pos += 1
+                    _, pos = _parse_params(tokens, pos)
+                    warnings.warn(f"directive '{tok}' ignored")
+                    continue
+                raise ValueError(f"unknown token '{tok}'")
+            pos = handler(tokens, pos)
+
+    # ------------------------------------------------------------ transforms
+    def _h_LookAt(self, t, p):
+        v = _floats(t[p: p + 9])
+        eye, look, up = v[0:3], v[3:6], v[6:9]
+        w2c = np.asarray(vmu.look_at(eye, look, up).m_inv)
+        self.state.ctm = self.state.ctm @ np.asarray(w2c, np.float64)
+        return p + 9
+
+    def _h_Translate(self, t, p):
+        m = np.eye(4)
+        m[:3, 3] = _floats(t[p: p + 3])
+        self.state.ctm = self.state.ctm @ m
+        return p + 3
+
+    def _h_Scale(self, t, p):
+        m = np.diag(_floats(t[p: p + 3]) + [1.0])
+        self.state.ctm = self.state.ctm @ m
+        return p + 3
+
+    def _h_Rotate(self, t, p):
+        v = _floats(t[p: p + 4])
+        m = np.asarray(vmu.rotate(v[0], v[1:4]).m, np.float64)
+        self.state.ctm = self.state.ctm @ m
+        return p + 4
+
+    def _h_Transform(self, t, p):
+        assert t[p] == "["
+        v = _floats(t[p + 1: p + 17])
+        # pbrt matrices are column-major in the file
+        self.state.ctm = np.asarray(v, np.float64).reshape(4, 4).T
+        return p + 18
+
+    def _h_ConcatTransform(self, t, p):
+        assert t[p] == "["
+        v = _floats(t[p + 1: p + 17])
+        self.state.ctm = self.state.ctm @ np.asarray(v, np.float64).reshape(4, 4).T
+        return p + 18
+
+    def _h_Identity(self, t, p):
+        self.state.ctm = np.eye(4)
+        return p
+
+    def _h_ReverseOrientation(self, t, p):
+        self.state.reverse_orientation = not self.state.reverse_orientation
+        return p
+
+    def _h_CoordinateSystem(self, t, p):
+        return p + 1
+
+    def _h_CoordSysTransform(self, t, p):
+        return p + 1
+
+    # ------------------------------------------------------------ pre-world
+    def _h_Camera(self, t, p):
+        self.cam_kind = t[p][1:-1]
+        params, p = _parse_params(t, p + 1)
+        self.cam_params = params
+        # world-to-camera is the CTM at the Camera statement
+        self.camera_ctm = self.state.ctm.copy()
+        return p
+
+    def _h_Film(self, t, p):
+        _kind = t[p][1:-1]
+        params, p = _parse_params(t, p + 1)
+        xr = int(params.get("xresolution", (None, [1280]))[1][0])
+        yr = int(params.get("yresolution", (None, [720]))[1][0])
+        self.film_res = (xr, yr)
+        if "filename" in params:
+            self.film_name = params["filename"][1][0][1:-1]
+        return p
+
+    def _h_PixelFilter(self, t, p):
+        kind = t[p][1:-1]
+        params, p = _parse_params(t, p + 1)
+        if kind == "box":
+            r = float(params.get("xradius", (None, [0.5]))[1][0])
+            self.filter = BoxFilter(radius=r)
+        elif kind == "triangle":
+            self.filter = TriangleFilter()
+        else:
+            r = float(params.get("xradius", (None, [1.5]))[1][0])
+            s = float(params.get("sigma", (None, [0.5]))[1][0])
+            self.filter = GaussianFilter(radius=r, sigma=s)
+        return p
+
+    def _h_Sampler(self, t, p):
+        _kind = t[p][1:-1]
+        params, p = _parse_params(t, p + 1)
+        if "pixelsamples" in params:
+            self.spp = int(params["pixelsamples"][1][0])
+        return p
+
+    def _h_Integrator(self, t, p):
+        self.integrator = t[p][1:-1]
+        params, p = _parse_params(t, p + 1)
+        if "maxdepth" in params:
+            self.max_depth = int(params["maxdepth"][1][0])
+        return p
+
+    def _h_Option(self, t, p):
+        _, p = _parse_params(t, p)
+        return p
+
+    def _h_Accelerator(self, t, p):
+        _ = t[p]
+        _, p = _parse_params(t, p + 1)
+        return p
+
+    def _h_ColorSpace(self, t, p):
+        return p + 1
+
+    # ---------------------------------------------------------------- world
+    def _h_WorldBegin(self, t, p):
+        self.world = True
+        self.state = _GState()
+        return p
+
+    def _h_WorldEnd(self, t, p):
+        return p
+
+    def _h_AttributeBegin(self, t, p):
+        import copy
+
+        self.stack.append(copy.deepcopy(self.state))
+        return p
+
+    def _h_AttributeEnd(self, t, p):
+        self.state = self.stack.pop()
+        return p
+
+    _h_TransformBegin = _h_AttributeBegin
+    _h_TransformEnd = _h_AttributeEnd
+
+    def _h_Attribute(self, t, p):
+        _ = t[p]
+        _, p = _parse_params(t, p + 1)
+        return p
+
+    def _h_LightSource(self, t, p):
+        kind = t[p][1:-1]
+        params, p = _parse_params(t, p + 1)
+        scale = float(params.get("scale", (None, [1.0]))[1][0])
+        ctm = self.state.ctm
+
+        def xf_point(q):
+            q = np.asarray(q + [1.0])
+            r = ctm @ q
+            return (r[:3] / r[3]).astype(np.float32)
+
+        def xf_vec(q):
+            return (ctm[:3, :3] @ np.asarray(q)).astype(np.float32)
+
+        if kind == "distant":
+            Lt, Lv = params.get("L", ("rgb", ["1", "1", "1"]))
+            spec = _to_spectrum(Lt, Lv)
+            frm = _floats(params.get("from", (None, ["0", "0", "0"]))[1])
+            to = _floats(params.get("to", (None, ["0", "0", "1"]))[1])
+            d = xf_point(to) - xf_point(frm)
+            d = d / np.linalg.norm(d)
+            self.lights.append(lm.DistantLight(direction=d, spectrum=spec, scale=scale))
+        elif kind == "infinite":
+            Lt, Lv = params.get("L", ("rgb", ["1", "1", "1"]))
+            spec = _to_spectrum(Lt, Lv)
+            if "filename" in params:
+                warnings.warn("image infinite light approximated as uniform")
+            self.lights.append(lm.UniformInfiniteLight(spectrum=spec, scale=scale))
+        elif kind == "point":
+            It, Iv = params.get("I", ("rgb", ["1", "1", "1"]))
+            spec = _to_spectrum(It, Iv)
+            frm = _floats(params.get("from", (None, ["0", "0", "0"]))[1])
+            self.lights.append(lm.PointLight(position=xf_point(frm), spectrum=spec, scale=scale))
+        elif kind == "spot":
+            It, Iv = params.get("I", ("rgb", ["1", "1", "1"]))
+            spec = _to_spectrum(It, Iv)
+            frm = _floats(params.get("from", (None, ["0", "0", "0"]))[1])
+            to = _floats(params.get("to", (None, ["0", "0", "1"]))[1])
+            cone = float(params.get("coneangle", (None, ["30"]))[1][0])
+            delta = float(params.get("conedeltaangle", (None, ["5"]))[1][0])
+            pos_w = xf_point(frm)
+            d = xf_point(to) - pos_w
+            d = d / np.linalg.norm(d)
+            self.lights.append(lm.SpotLight(
+                position=pos_w, direction=d, spectrum=spec, scale=scale,
+                cone_angle_deg=cone, cone_delta_deg=delta))
+        else:
+            warnings.warn(f"light '{kind}' unsupported; skipped")
+        return p
+
+    def _h_AreaLightSource(self, t, p):
+        _ = t[p]
+        _, p = _parse_params(t, p + 1)
+        warnings.warn("area lights unsupported in this subset; skipped")
+        return p
+
+    def _h_MakeNamedMedium(self, t, p):
+        name = t[p][1:-1]
+        params, p = _parse_params(t, p + 1)
+        kind = params.get("type", ("string", ['"homogeneous"']))[1][0].strip('"')
+        sa = _to_spectrum(*params.get("sigma_a", ("rgb", ["1", "1", "1"])))
+        ss = _to_spectrum(*params.get("sigma_s", ("rgb", ["1", "1", "1"])))
+        g = float(params.get("g", (None, ["0"]))[1][0])
+        scale = float(params.get("scale", (None, ["1"]))[1][0])
+        Le = _to_spectrum(*params["Le"]) if "Le" in params else None
+        Le_scale = float(params.get("Lescale", (None, ["1"]))[1][0])
+        m2w = self.state.ctm.copy()
+        if kind in ("uniformgrid", "rgbgrid"):
+            nx = int(params["nx"][1][0])
+            ny = int(params["ny"][1][0])
+            nz = int(params["nz"][1][0])
+            p0 = _floats(params.get("p0", (None, ["0", "0", "0"]))[1])
+            p1 = _floats(params.get("p1", (None, ["1", "1", "1"]))[1])
+            dens = np.asarray(_floats(params["density"][1]), np.float32).reshape(nz, ny, nx)
+            # medium-to-world: ctm maps the p0..p1 box
+            spec = MediumSpec(
+                sigma_a_spec=sa, sigma_s_spec=ss, g=g, scale=scale,
+                density=dens, bounds_lo=np.asarray(p0, np.float32),
+                bounds_hi=np.asarray(p1, np.float32),
+                Le_spec=Le, Le_scale=Le_scale,
+                majorant_res=(16, 16, 16),   # media.cpp:229
+                m2w=m2w if not np.allclose(m2w, np.eye(4)) else None,
+            )
+        elif kind == "homogeneous":
+            spec = MediumSpec(
+                sigma_a_spec=sa, sigma_s_spec=ss, g=g, scale=scale,
+                density=None, Le_spec=Le, Le_scale=Le_scale,
+                m2w=m2w if not np.allclose(m2w, np.eye(4)) else None,
+            )
+        else:
+            warnings.warn(f"medium type '{kind}' unsupported; homogeneous stand-in")
+            spec = MediumSpec(sigma_a_spec=sa, sigma_s_spec=ss, g=g, scale=scale)
+        self.named_media[name] = spec
+        return p
+
+    def _h_MediumInterface(self, t, p):
+        inside = t[p][1:-1]
+        outside = t[p + 1][1:-1] if p + 1 < len(t) and t[p + 1].startswith('"') else ""
+        self.state.inside_medium = inside or None
+        self.state.outside_medium = outside or None
+        if not self.world:
+            self.camera_medium = inside or None
+        return p + (2 if p + 1 < len(t) and t[p + 1].startswith('"') else 1)
+
+    def _h_Material(self, t, p):
+        kind = t[p][1:-1]
+        _, p = _parse_params(t, p + 1)
+        self.state.material = kind or None
+        return p
+
+    def _h_MakeNamedMaterial(self, t, p):
+        _ = t[p]
+        _, p = _parse_params(t, p + 1)
+        return p
+
+    def _h_NamedMaterial(self, t, p):
+        return p + 1
+
+    def _h_Texture(self, t, p):
+        # Texture "name" "type" "class" params
+        _, p = _parse_params(t, p + 3)
+        return p
+
+    def _h_Shape(self, t, p):
+        kind = t[p][1:-1]
+        params, p = _parse_params(t, p + 1)
+        # shapes bounding a medium: record the interface; the medium's own
+        # bounds drive the march, matching MediumData's single-medium
+        # aggregate model (graph util.h:61-91)
+        if self.state.inside_medium:
+            self.shapes.append((kind, params, self.state.inside_medium,
+                                self.state.ctm.copy()))
+        elif self.state.material is not None:
+            warnings.warn(f"opaque shape '{kind}' ignored (surface rendering subset)")
+        return p
+
+    def _h_Include(self, t, p):
+        path = t[p][1:-1]
+        full = os.path.join(self.base_dir, path)
+        with open(full) as f:
+            sub = tokenize(f.read())
+        self.parse_tokens(sub)
+        return p + 1
+
+    _h_Import = _h_Include
+
+    # ---------------------------------------------------------------- build
+    def build(self) -> Scene:
+        w, h = self.film_res
+        c2w_np = np.linalg.inv(self.camera_ctm)
+        import jax.numpy as jnp
+
+        c2w = vmu.Transform(jnp.asarray(c2w_np, jnp.float32),
+                            jnp.asarray(self.camera_ctm, jnp.float32))
+        fov = float(self.cam_params.get("fov", (None, ["90"]))[1][0]) if self.cam_params else 90.0
+        if self.cam_kind == "orthographic":
+            camera = OrthographicCamera(c2w=c2w, screen_scale=1.0, width=w, height=h)
+        elif self.cam_kind == "spherical":
+            camera = SphericalCamera(c2w=c2w, width=w, height=h)
+        else:
+            camera = PerspectiveCamera(c2w=c2w, fov_deg=fov, width=w, height=h)
+
+        medium = None
+        if self.named_media:
+            used = {s[2] for s in self.shapes}
+            name = next(iter(used)) if used else next(iter(self.named_media))
+            medium = self.named_media[name]
+
+        return Scene(
+            camera=camera, medium=medium, lights=self.lights,
+            max_depth=self.max_depth, filter=self.filter, spp=self.spp,
+        )
+
+
+def load_scene(path: str) -> Scene:
+    return PbrtParser().parse_file(path)

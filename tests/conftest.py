@@ -22,5 +22,11 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 # persistent compile cache: the fused march kernels take ~30s to build on the
 # CPU backend; cache them across pytest runs
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# CPU AOT blobs re-loaded from the persistent cache abort on host-feature
+# validation (prefer-no-scatter pseudo-features); cache only the HLO level
+try:
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+except Exception:
+    pass

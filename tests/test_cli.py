@@ -1,0 +1,107 @@
+"""CLI tests: imgtool subcommands + pbrt/graph_maker wiring."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from acceleratedvolrenderer_tpu.cli import imgtool
+from acceleratedvolrenderer_tpu.utils.image import read_exr, write_exr
+
+
+@pytest.fixture
+def imgs(tmp_path):
+    rng = np.random.default_rng(0)
+    a = rng.random((16, 20, 3)).astype(np.float32)
+    b = a + 0.1
+    pa = str(tmp_path / "a.exr")
+    pb = str(tmp_path / "b.exr")
+    write_exr(pa, a)
+    write_exr(pb, b)
+    return pa, pb, a, b
+
+
+def test_imgtool_diff(imgs, capsys):
+    pa, pb, a, b = imgs
+    rc = imgtool.main(["diff", pa, pb])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    np.testing.assert_allclose(out["MSE"], 0.01, rtol=1e-4)
+    np.testing.assert_allclose(out["L1"], 0.1, rtol=1e-4)
+
+
+def test_imgtool_diff_threshold(imgs, capsys):
+    pa, pb, *_ = imgs
+    assert imgtool.main(["diff", pa, pb, "--metric", "MSE", "--threshold", "0.02"]) == 0
+    capsys.readouterr()
+    assert imgtool.main(["diff", pa, pb, "--metric", "MSE", "--threshold", "0.001"]) == 1
+
+
+def test_imgtool_info(imgs, capsys):
+    pa, *_ = imgs
+    assert imgtool.main(["info", pa]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["resolution"] == [20, 16]
+
+
+def test_imgtool_convert_png(imgs, tmp_path, capsys):
+    pa, *_ = imgs
+    out = str(tmp_path / "o.png")
+    assert imgtool.main(["convert", pa, out]) == 0
+    assert os.path.exists(out)
+
+
+def test_imgtool_falsecolor(imgs, tmp_path, capsys):
+    pa, *_ = imgs
+    out = str(tmp_path / "f.png")
+    assert imgtool.main(["falsecolor", pa, out]) == 0
+    assert os.path.exists(out)
+
+
+def test_imgtool_average(imgs, tmp_path, capsys):
+    pa, pb, a, b = imgs
+    out = str(tmp_path / "avg.exr")
+    assert imgtool.main(["average", pa, pb, "-o", out]) == 0
+    avg, _, _ = read_exr(out)
+    np.testing.assert_allclose(avg, (a + b) / 2, atol=1e-6)
+
+
+def test_pbrt_cli_help():
+    from acceleratedvolrenderer_tpu.cli import pbrt
+
+    with pytest.raises(SystemExit) as e:
+        pbrt.main(["--help"])
+    assert e.value.code == 0
+
+
+def test_graph_maker_cli_help():
+    from acceleratedvolrenderer_tpu.cli import graph_maker
+
+    with pytest.raises(SystemExit) as e:
+        graph_maker.main(["--help"])
+    assert e.value.code == 0
+
+
+def test_pbrt_cli_render_scene_file(tmp_path, capsys):
+    """Full CLI drive: parse a scene file, render, write EXR."""
+    scene = tmp_path / "s.pbrt"
+    scene.write_text(
+        'LookAt 0.5 0.5 -3  0.5 0.5 0.5  0 1 0\n'
+        'Camera "perspective" "float fov" [30]\n'
+        'Film "rgb" "integer xresolution" [8] "integer yresolution" [8]\n'
+        'Sampler "halton" "integer pixelsamples" [2]\n'
+        'Integrator "volpath" "integer maxdepth" [3]\n'
+        'WorldBegin\n'
+        'LightSource "infinite" "rgb L" [0.5 0.5 0.5]\n'
+    )
+    out = str(tmp_path / "o.exr")
+    from acceleratedvolrenderer_tpu.cli import pbrt
+
+    rc = pbrt.main([str(scene), "-o", out, "--stats"])
+    assert rc == 0
+    img, _, attrs = read_exr(out)
+    assert img.shape == (8, 8, 3)
+    assert attrs["samplesPerPixel"] == 2
+    assert img.mean() > 0.1

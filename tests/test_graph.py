@@ -1,0 +1,165 @@
+"""Graph radiance-caching layer tests.
+
+Pattern: the reference validates the graph pipeline by render parity
+(results/graph*.exr vs ref*.exr) plus ad-hoc executables
+(transmittance_test.cpp); here: unit tests of the model/merge/transport
+pieces + an end-to-end precompute-then-render sanity check against the
+plain VolPath render of the same scene.
+"""
+import numpy as np
+import pytest
+
+from acceleratedvolrenderer_tpu.graph.builder import (
+    FreeGraphBuilder,
+    compute_search_ranges,
+    entry_rays,
+    merge_paths_to_graph,
+    same_spot_radius,
+)
+from acceleratedvolrenderer_tpu.graph.config import GraphBuilderConfig, GraphConfig, LightingCalculatorConfig
+from acceleratedvolrenderer_tpu.graph.lighting import (
+    LightingCalculator,
+    compute_final_light,
+    transport_matrix,
+)
+from acceleratedvolrenderer_tpu.graph.model import Graph
+from acceleratedvolrenderer_tpu.models.media import MediumSpec
+from acceleratedvolrenderer_tpu.utils import spectrum as sp
+
+
+def flat(c):
+    return sp.constant_spectrum(c)
+
+
+def sphere_medium_spec():
+    n = 32
+    zs, ys, xs = np.meshgrid(*([np.linspace(0, 1, n)] * 3), indexing="ij")
+    r = np.linalg.norm(np.stack([xs, ys, zs], -1) - 0.5, axis=-1)
+    density = (r < 0.45).astype(np.float32)
+    return MediumSpec(
+        sigma_a_spec=flat(0.1), sigma_s_spec=flat(0.9), g=0.0, scale=3.0,
+        density=density, bounds_lo=np.zeros(3, np.float32),
+        bounds_hi=np.ones(3, np.float32), majorant_res=(8, 8, 8),
+    )
+
+
+def test_graph_text_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    g = Graph(
+        positions=rng.random((40, 3)).astype(np.float32),
+        light_scalar=rng.random(40).astype(np.float32),
+        search_range=rng.random(40).astype(np.float32),
+        vertex_samples=rng.integers(1, 9, 40).astype(np.int32),
+        edges=rng.integers(0, 40, (90, 2)).astype(np.int32),
+        edge_samples=rng.integers(1, 5, 90).astype(np.int32),
+        vertex_radius=0.01, description="t",
+    )
+    p = str(tmp_path / "g.txt")
+    g.write_text(p)
+    g2 = Graph.read_text(p)
+    np.testing.assert_allclose(g2.positions, g.positions, rtol=1e-6)
+    np.testing.assert_array_equal(g2.edges, g.edges)
+    np.testing.assert_allclose(g2.light_scalar, g.light_scalar, rtol=1e-6)
+    np.testing.assert_allclose(g2.search_range, g.search_range, rtol=1e-6)
+    assert g2.vertex_radius == pytest.approx(0.01)
+
+
+def test_merge_paths():
+    # two paths sharing a midpoint within radius merge to one vertex
+    pts = np.zeros((2, 3, 3), np.float32)
+    pts[0] = [[0, 0, 0], [1, 0, 0], [2, 0, 0]]
+    pts[1] = [[0, 1, 0], [1.0005, 0.0005, 0], [2, 1, 0]]
+    valid = np.ones((2, 3), bool)
+    g = merge_paths_to_graph(pts, valid, radius=0.01)
+    assert g.n_vertices == 5  # midpoint shared
+    assert g.n_edges == 4
+    # shared vertex has 2 samples
+    assert int(g.vertex_samples.max()) == 2
+
+
+def test_transport_and_power_iteration():
+    # 3-vertex chain: 0 -> 1 -> 2 with full transport
+    g = Graph(
+        positions=np.zeros((3, 3), np.float32),
+        vertex_samples=np.array([2, 2, 2], np.int32),
+        edges=np.array([[0, 1], [1, 2]], np.int32),
+        edge_samples=np.array([2, 2], np.int32),
+    )
+    rows, cols, vals = transport_matrix(g)
+    np.testing.assert_allclose(vals, [1.0, 1.0])
+    L0 = np.array([1.0, 0.0, 0.0], np.float32)
+    total = compute_final_light(g, L0, bounces=2)
+    # k=0: [1,0,0]; k=1: [0,1,0]; k=2: [0,0,1]
+    np.testing.assert_allclose(total, [1.0, 1.0, 1.0], atol=1e-6)
+
+
+def test_search_ranges():
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [5, 5, 5]], np.float32)
+    sr = compute_search_ranges(pos, k=2, smoothing_rounds=0,
+                               edges=np.zeros((0, 2), np.int32))
+    assert sr.shape == (4,)
+    # the isolated vertex has a much larger range
+    assert sr[3] > 2 * sr[0]
+
+
+def test_entry_rays_cover_sphere():
+    spec = sphere_medium_spec()
+    o, d = entry_rays(spec, np.array([0.0, -1.0, 0.0]), 16)
+    assert o.shape[0] > 100  # disk of the 16x16 grid
+    np.testing.assert_allclose(d[0], [0, -1, 0], atol=1e-6)
+    # origins outside the medium on the light side
+    assert o[:, 1].min() > 1.0
+
+
+def test_build_and_light_and_render():
+    """End-to-end precompute: build graph on the sphere medium, compute
+    lighting, render with the cache, compare brightness scale to the
+    path-traced render (coarse parity: within 2x in the lit region)."""
+    spec = sphere_medium_spec()
+    light_dir = np.array([0.0, -1.0, 0.0])
+    cfg = GraphConfig(
+        builder=GraphBuilderConfig(dimension_steps=24, iterations_per_step=2,
+                                   radius_modifier=20.0, max_depth=4),
+        lighting=LightingCalculatorConfig(light_rays=8, bounces=3),
+    )
+    builder = FreeGraphBuilder(spec, light_dir, cfg.builder, seed=1)
+    g = builder.build()
+    assert g.n_vertices > 50, g.n_vertices
+    assert g.n_edges > 20, g.n_edges
+    assert g.search_range is not None
+
+    g = LightingCalculator(g, spec, light_dir, cfg.lighting, seed=1).run()
+    assert g.light_scalar is not None
+    assert float(g.light_scalar.max()) > 0.0
+    # vertices nearer the light (higher y) should be brighter on average
+    y = g.positions[:, 1]
+    top = g.light_scalar[y > np.percentile(y, 70)].mean()
+    bottom = g.light_scalar[y < np.percentile(y, 30)].mean()
+    assert top > bottom, (top, bottom)
+
+    # render with the cache and compare to the reference path tracer
+    from acceleratedvolrenderer_tpu.models import lights as lm
+    from acceleratedvolrenderer_tpu.models.cameras import PerspectiveCamera
+    from acceleratedvolrenderer_tpu.models.film import BoxFilter
+    from acceleratedvolrenderer_tpu.parallel import render as render_mod
+    from acceleratedvolrenderer_tpu.scene import Scene
+    from acceleratedvolrenderer_tpu.utils import vecmath as vmu
+
+    cam = PerspectiveCamera(
+        c2w=vmu.look_at((0.5, 0.5, -2.2), (0.5, 0.5, 0.5), (0, 1, 0)),
+        fov_deg=30.0, width=16, height=16,
+    )
+    scene = Scene(
+        camera=cam, medium=spec,
+        lights=[lm.DistantLight(direction=light_dir, spectrum=flat(3.0),
+                                scene_radius=10.0)],
+        max_depth=4, filter=BoxFilter(), spp=16,
+    )
+    img_graph, _ = render_mod.render_graph(scene, g)
+    img_ref, _ = render_mod.render(scene)
+    assert np.isfinite(img_graph).all()
+    # both images light up the same (sphere) region
+    lit_g = img_graph.mean(axis=-1) > 0.001
+    lit_r = img_ref.mean(axis=-1) > 0.001
+    overlap = (lit_g & lit_r).sum() / max(lit_r.sum(), 1)
+    assert overlap > 0.5, overlap

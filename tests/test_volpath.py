@@ -120,10 +120,13 @@ def test_single_scatter_distant_light():
         max_depth=8, filter=BoxFilter(), spp=512,
     )
     img, _ = render_mod.render(scene)
+    # only the central 2x2 sees full-length chords; scatter events are rare
+    # (P ~ ss per ray => ~400 events here, sigma ~5%)
     center = lum(img)[3:5, 3:5].mean()
     # first-order: chord ~1, transmittances ~ exp(-ss * path) ~ 1
     expect = ss * 1.0 / (4 * np.pi) * E
-    assert abs(center - expect) / expect < 0.08, (center, expect)
+    assert abs(center - expect) / expect < 0.15, (center, expect)
+    # the precise check lives in test_single_scatter_direct_estimator
 
 
 def test_no_medium_environment_only():
@@ -134,3 +137,34 @@ def test_no_medium_environment_only():
     )
     img, _ = render_mod.render(scene)
     np.testing.assert_allclose(lum(img).mean(), 0.7, atol=0.02)
+
+
+def test_single_scatter_direct_estimator():
+    """Precise single-scattering check via the integrator core (no film/
+    camera): 200k identical rays through the unit cube, thin medium +
+    distant light => E[L] = sigma_s/(4 pi) * E within ~2%."""
+    import jax.numpy as jnp
+
+    from acceleratedvolrenderer_tpu.models.integrators import volpath_fused
+    from acceleratedvolrenderer_tpu.ops import dda
+
+    N, L = 200_000, 4
+    ss = 0.02
+    med = dda.MediumArrays(
+        density=jnp.ones((1, 1, 1)), majorant=jnp.ones((1, 1, 1)),
+        w2m=jnp.eye(4), g=jnp.float32(0.0),
+        sigma_a=jnp.zeros((1, L)), sigma_s=jnp.full((1, L), ss),
+        Le=jnp.zeros((1, L)),
+    )
+    lights = [lm.DistantLight(direction=np.array([0.0, -1.0, 0.0]),
+                              spectrum=flat(10.0), scene_radius=10.0)]
+    o = jnp.tile(jnp.array([[0.5, 0.5, -2.0]]), (N, 1))
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (N, 1))
+    lam = jnp.tile(jnp.linspace(400.0, 700.0, L)[None], (N, 1))
+    rng = dda.seed_stream(jnp.arange(N), jnp.zeros(N, jnp.int32))
+    res = volpath_fused.li(med, lights, o, d, lam, rng, maj_res=(1, 1, 1),
+                           homogeneous=True, max_depth=8, scene_radius=10.0,
+                           max_march_steps=20000)
+    got = float(res.L.mean())
+    expect = ss / (4 * np.pi) * 10.0
+    assert abs(got - expect) / expect < 0.02, (got, expect)
