@@ -23,6 +23,19 @@ restructured for lockstep SIMD throughput:
 
   RNG draws commit per-ray only when consumed, so radiance estimates are
   bitwise independent of batch composition and device sharding.
+
+Differentiability (the hand-derived backward pass of SURVEY.md §7 step 5):
+  with the majorant held fixed, delta-tracking sample positions and event
+  choices are distributed independently of the medium parameters — ALL
+  theta-dependence lives in the estimator weights.  The code therefore
+  detaches (stop_gradient) every pdf denominator, pdf-ratio tracker
+  (r_u/r_l/r_l_s/r_u_s), event probability, and sampled distance, while the
+  sigma(x, theta) numerators stay differentiable.  stop_gradient is an
+  identity in the forward pass, so the same code serves both paths; passing
+  `fixed_steps=n` switches the while_loop to a rematerialized lax.scan so
+  jax.grad works end-to-end, giving unbiased d(pixel)/d(density voxel,
+  sigma coefficients, g, Le) — validated against finite differences with
+  shared RNG (tests/test_diff.py).
 """
 from __future__ import annotations
 
@@ -30,6 +43,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.lax import stop_gradient as sg
 
 from ...ops import phase as phase_ops
 from ...ops.dda import (
@@ -85,7 +99,8 @@ class _Regs(NamedTuple):
     r_u_s: jnp.ndarray
     ls_L: jnp.ndarray        # light sample radiance
     ls_pdf: jnp.ndarray      # (N,) light pdf (incl. sampler pmf)
-    f_hat: jnp.ndarray       # (N,) phase value at the NEE direction
+    f_hat: jnp.ndarray       # (N,) phase value at the NEE direction (eval side)
+    f_hat_d: jnp.ndarray     # (N,) sampling-side phase value (MIS pdf role)
     is_delta: jnp.ndarray    # (N,) bool
     n_steps: jnp.ndarray     # scalar
 
@@ -103,6 +118,7 @@ def li(
     scene_radius: float = 1e4,
     max_march_steps: int = 100000,
     k_substeps: int = 8,
+    fixed_steps=None,
 ) -> LiResult:
     N = o.shape[0]
     LANES = lam.shape[-1]
@@ -114,6 +130,7 @@ def li(
     Le_b = jnp.broadcast_to(med.Le, (N, LANES))
     sigma_t0 = sigma_t[:, 0]
     g = med.g
+    g_samp = sg(med.g if med.g_s is None else med.g_s)
     maj_res_i = jnp.asarray(maj_res, jnp.int32)
     rz, ry, rx = med.majorant.shape
 
@@ -123,7 +140,8 @@ def li(
         dda, t0 = dda_init(so, sd, t_max, med.w2m, maj_res)
         rng, u0 = pcg_uniform_masked(rng, need & dda.in_medium)
         u0 = jnp.minimum(u0, ONE_MINUS_EPSILON)
-        dl0 = jnp.where(sigma_t0 > 0, -jnp.log1p(-u0) / jnp.maximum(sigma_t0, 1e-30), jnp.inf)
+        st0 = sg(sigma_t0)   # sampling stays detached
+        dl0 = jnp.where(st0 > 0, -jnp.log1p(-u0) / jnp.maximum(st0, 1e-30), jnp.inf)
         sel = need
         sel3 = need[:, None]
         return old._replace(
@@ -170,6 +188,7 @@ def li(
         ls_L=zero_s,
         ls_pdf=jnp.zeros((N,), f32),
         f_hat=jnp.zeros((N,), f32),
+        f_hat_d=jnp.zeros((N,), f32),
         is_delta=jnp.zeros((N,), bool),
         n_steps=jnp.int32(0),
     )
@@ -182,7 +201,7 @@ def li(
         vx = jnp.clip(c.voxel[:, 0], 0, rx - 1)
         vy = jnp.clip(c.voxel[:, 1], 0, ry - 1)
         vz = jnp.clip(c.voxel[:, 2], 0, rz - 1)
-        maxd = med.majorant[vz, vy, vx]
+        maxd = sg(med.majorant[vz, vy, vx])
         seg_end = jnp.minimum(jnp.min(c.next_t, axis=-1), c.t_exit)
         seg_len = jnp.maximum(seg_end - c.t_cur, 0.0)
         dl_seg = maxd * seg_len
@@ -217,60 +236,75 @@ def li(
         col_any = c.reached & (c.pc != PC_DONE)
         if homogeneous:
             dens = jnp.ones((N,), f32)
+            dens_d = dens
         else:
             p_w = c.so + c.t_cur[:, None] * c.sd
             p_m = world_to_medium(med.w2m, p_w)
             dens = gridops.trilerp(med.density, p_m)
+            # decision/pdf-side density: frozen copy when provided (the
+            # detached estimator's sampling distribution), else sg(same)
+            dens_d = sg(dens if med.density_s is None
+                        else gridops.trilerp(med.density_s, p_m))
         vx = jnp.clip(c.voxel[:, 0], 0, rx - 1)
         vy = jnp.clip(c.voxel[:, 1], 0, ry - 1)
         vz = jnp.clip(c.voxel[:, 2], 0, rz - 1)
-        maxd = med.majorant[vz, vy, vx]
-        sa = sigma_a_b * dens[:, None]
+        maxd = sg(med.majorant[vz, vy, vx])
+        sa = sigma_a_b * dens[:, None]             # evaluation side (diff)
         ss = sigma_s_b * dens[:, None]
+        sa_d = sg(sigma_a_b) * dens_d[:, None]     # sampling side (frozen)
+        ss_d = sg(sigma_s_b) * dens_d[:, None]
         sig_maj = sigma_t * maxd[:, None]
-        sig_maj0 = sig_maj[:, 0]
+        sig_maj0 = sg(sig_maj[:, 0])
         T_maj = jnp.exp(-sigma_t * c.dl_since[:, None])
         sig_n = jnp.clip(sig_maj - sa - ss, 0.0, None)
+        sig_n_d = sg(jnp.clip(sg(sig_maj) - sa_d - ss_d, 0.0, None))
 
         # fresh tau targets for continuing rays (drawn where consumed)
         rng = c.rng
 
         # =========== MAIN-PATH COLLISIONS (pc == MARCH) ===========
         col_m = col_any & (c.pc == PC_MARCH)
-        p_absorb = jnp.where(sig_maj0 > 0, sa[:, 0] / jnp.maximum(sig_maj0, 1e-30), 0.0)
-        p_scatter = jnp.where(sig_maj0 > 0, ss[:, 0] / jnp.maximum(sig_maj0, 1e-30), 0.0)
+        p_absorb = jnp.where(sig_maj0 > 0, sa_d[:, 0] / jnp.maximum(sig_maj0, 1e-30), 0.0)
+        p_scatter = jnp.where(sig_maj0 > 0, ss_d[:, 0] / jnp.maximum(sig_maj0, 1e-30), 0.0)
         rng, u_ev = pcg_uniform_masked(rng, col_m)
         is_absorb = col_m & (u_ev < p_absorb)
         is_scatter = col_m & ~is_absorb & (u_ev < p_absorb + p_scatter)
         is_null = col_m & ~is_absorb & ~is_scatter
 
         # emission at every main collision while depth < max_depth
-        pdf_e = sig_maj0 * T_maj[:, 0]
+        # (pdf + ratio trackers detached: sampling-side quantities)
+        pdf_e = sg(sig_maj0 * T_maj[:, 0])
         betap = c.beta * T_maj / jnp.maximum(pdf_e, 1e-30)[:, None]
-        r_e = c.r_u * sig_maj * T_maj / jnp.maximum(pdf_e, 1e-30)[:, None]
-        r_e_avg = jnp.mean(r_e, axis=-1)
+        r_e = sg(c.r_u * sig_maj * T_maj) / jnp.maximum(pdf_e, 1e-30)[:, None]
+        r_e_avg = sg(jnp.mean(r_e, axis=-1))
         contrib_e = betap * sa * Le_b / jnp.maximum(r_e_avg, 1e-30)[:, None]
         emit_ok = col_m & (pdf_e > 0) & (r_e_avg > 0) & (c.depth < max_depth)
         L_acc = c.L + jnp.where(emit_ok[:, None], contrib_e, 0.0)
 
-        # null updates (main)
-        pdf_null = T_maj[:, 0] * sig_n[:, 0]
+        # null updates (main): pdf denominators + ratio trackers live on the
+        # sampling side (frozen density); only beta's sigma numerators are
+        # differentiable
+        pdf_null = sg(T_maj[:, 0] * sig_n_d[:, 0])
         null_ok = pdf_null > 0
         f_null = jnp.where(null_ok[:, None],
                            T_maj * sig_n / jnp.maximum(pdf_null, 1e-30)[:, None], 0.0)
-        f_null_l = jnp.where(null_ok[:, None],
-                             T_maj * sig_maj / jnp.maximum(pdf_null, 1e-30)[:, None], 0.0)
-        pdf_sc = T_maj[:, 0] * ss[:, 0]
-        f_sc = jnp.where((pdf_sc > 0)[:, None],
+        f_null_d = sg(jnp.where(null_ok[:, None],
+                                T_maj * sig_n_d / jnp.maximum(pdf_null, 1e-30)[:, None], 0.0))
+        f_null_l = sg(jnp.where(null_ok[:, None],
+                                T_maj * sig_maj / jnp.maximum(pdf_null, 1e-30)[:, None], 0.0))
+        pdf_sc = sg(T_maj[:, 0] * ss_d[:, 0])
+        sc_ok = pdf_sc > 0
+        f_sc = jnp.where(sc_ok[:, None],
                          T_maj * ss / jnp.maximum(pdf_sc, 1e-30)[:, None], 0.0)
+        f_sc_d = sg(jnp.where(sc_ok[:, None],
+                              T_maj * ss_d / jnp.maximum(pdf_sc, 1e-30)[:, None], 0.0))
 
         beta = jnp.where(is_null[:, None], c.beta * f_null,
                          jnp.where(is_scatter[:, None], c.beta * f_sc, c.beta))
-        r_u = jnp.where(is_null[:, None], c.r_u * f_null,
-                        jnp.where(is_scatter[:, None], c.r_u * f_sc, c.r_u))
-        r_l = jnp.where(is_null[:, None], c.r_l * f_null_l, c.r_l)
-        dead_null = is_null & (~jnp.any(beta != 0.0, axis=-1) |
-                               ~jnp.any(r_u != 0.0, axis=-1))
+        r_u = sg(jnp.where(is_null[:, None], c.r_u * f_null_d,
+                           jnp.where(is_scatter[:, None], c.r_u * f_sc_d, c.r_u)))
+        r_l = sg(jnp.where(is_null[:, None], c.r_l * f_null_l, c.r_l))
+        dead_null = is_null & ~jnp.any(r_u != 0.0, axis=-1)
 
         # scatter at depth cap terminates (volpath_custom.cpp:352)
         over = is_scatter & (c.depth >= max_depth)
@@ -281,15 +315,15 @@ def li(
         esc_m = c.seg_escaped & (c.pc == PC_MARCH)
         # escaped rays: residual T_maj/T_maj[0], then infinite lights + DONE
         T_res = jnp.exp(-sigma_t * c.dl_since[:, None])
-        f_res = T_res / jnp.maximum(T_res[:, 0:1], 1e-30)
+        f_res = T_res / jnp.maximum(sg(T_res[:, 0:1]), 1e-30)
         beta = jnp.where(esc_m[:, None], beta * f_res, beta)
-        r_u = jnp.where(esc_m[:, None], r_u * f_res, r_u)
-        r_l = jnp.where(esc_m[:, None], r_l * f_res, r_l)
+        r_u = sg(jnp.where(esc_m[:, None], r_u * f_res, r_u))
+        r_l = sg(jnp.where(esc_m[:, None], r_l * f_res, r_l))
         Le_inf, pdf_inf = lights_mod.escaped_radiance(lights, c.d_main, lam)
         first = c.depth == 0
         denom_first = jnp.mean(r_u, axis=-1)
         denom_mis = jnp.mean(r_u + r_l * pdf_inf[:, None], axis=-1)
-        denom = jnp.where(first, denom_first, denom_mis)
+        denom = sg(jnp.where(first, denom_first, denom_mis))
         contrib_inf = beta * Le_inf / jnp.maximum(denom, 1e-30)[:, None]
         L_acc = L_acc + jnp.where((esc_m & (denom > 0))[:, None], contrib_inf, 0.0)
 
@@ -302,30 +336,33 @@ def li(
         ls, is_delta = lights_mod.sample_one_light(
             lights, p_scat, u1, jnp.stack([u2a, u2b], -1), lam
         )
-        f_hat = phase_ops.hg_phase(wo, ls.wi, g)
-        nee_valid = do_scatter & ls.valid & (ls.pdf > 0) & (f_hat > 0)
+        f_hat = phase_ops.hg_phase(wo, ls.wi, g)   # differentiable in g
+        f_hat_d = sg(phase_ops.hg_phase(wo, ls.wi, g_samp))  # pdf role
+        nee_valid = do_scatter & ls.valid & (ls.pdf > 0) & (f_hat_d > 0)
         # rays whose light sample is unusable skip NEE -> sample phase now
         skip_nee = do_scatter & ~nee_valid
 
         # =========== NEE COLLISIONS (pc == NEE) ===========
         col_s = col_any & (c.pc == PC_NEE)
-        pdf_rt = T_maj[:, 0] * sig_maj0
+        pdf_rt = sg(T_maj[:, 0] * sig_maj0)
         inv_rt = 1.0 / jnp.maximum(pdf_rt, 1e-30)
         ok_rt = (pdf_rt > 0)
         T_ray = jnp.where((col_s & ok_rt)[:, None],
                           c.T_ray * T_maj * sig_n * inv_rt[:, None], c.T_ray)
-        r_l_s = jnp.where((col_s & ok_rt)[:, None],
-                          c.r_l_s * T_maj * sig_maj * inv_rt[:, None], c.r_l_s)
-        r_u_s = jnp.where((col_s & ok_rt)[:, None],
-                          c.r_u_s * T_maj * sig_n * inv_rt[:, None], c.r_u_s)
+        r_l_s = sg(jnp.where((col_s & ok_rt)[:, None],
+                             c.r_l_s * T_maj * sig_maj * inv_rt[:, None], c.r_l_s))
+        # r_u_s tracks the sampling-side null products (== T_ray at the
+        # sampling point), so it doubles as the RR decision statistic
+        r_u_s = sg(jnp.where((col_s & ok_rt)[:, None],
+                             c.r_u_s * T_maj * sig_n_d * inv_rt[:, None], c.r_u_s))
         denom_rr = jnp.mean(r_l_s + r_u_s, axis=-1)
-        Tr = T_ray / jnp.maximum(denom_rr, 1e-30)[:, None]
+        Tr = r_u_s / jnp.maximum(denom_rr, 1e-30)[:, None]
         rr = col_s & (jnp.max(Tr, axis=-1) < 0.05)
         rng, u_rr = pcg_uniform_masked(rng, rr)
         killed = rr & (u_rr < 0.75)
         T_ray = jnp.where(killed[:, None], 0.0,
                           jnp.where(rr[:, None], T_ray / 0.25, T_ray))
-        shadow_dead = col_s & ~jnp.any(T_ray != 0.0, axis=-1)
+        shadow_dead = col_s & (killed | ~jnp.any(r_u_s != 0.0, axis=-1))
 
         # =========== NEE SEGMENT COMPLETE (pc == NEE) ===========
         esc_s = (c.seg_escaped | shadow_dead) & (c.pc == PC_NEE)
@@ -335,9 +372,9 @@ def li(
         r_u_sf = jnp.where((esc_s & ~shadow_dead)[:, None], r_u_s * f_res, r_u_s)
         # contribution (volpath_custom.cpp:723-727): r_p = path r_u
         r_l_nee = r_l_sf * c.r_u * c.ls_pdf[:, None]
-        r_u_nee = r_u_sf * c.r_u * c.f_hat[:, None]
-        denom_nee = jnp.where(c.is_delta, jnp.mean(r_l_nee, axis=-1),
-                              jnp.mean(r_l_nee + r_u_nee, axis=-1))
+        r_u_nee = r_u_sf * c.r_u * c.f_hat_d[:, None]
+        denom_nee = sg(jnp.where(c.is_delta, jnp.mean(r_l_nee, axis=-1),
+                                 jnp.mean(r_l_nee + r_u_nee, axis=-1)))
         contrib_nee = (c.beta * c.f_hat[:, None] * T_ray_f * c.ls_L
                        / jnp.maximum(denom_nee, 1e-30)[:, None])
         L_acc = L_acc + jnp.where((esc_s & (denom_nee > 0))[:, None], contrib_nee, 0.0)
@@ -347,10 +384,16 @@ def li(
         rng, u3a = pcg_uniform_masked(rng, resume)
         rng, u3b = pcg_uniform_masked(rng, resume)
         wo2 = -c.d_main
-        wi, ps_pdf = phase_ops.sample_hg(wo2, jnp.stack([u3a, u3b], -1), g)
+        wi, ps_pdf = phase_ops.sample_hg(wo2, jnp.stack([u3a, u3b], -1), g_samp)
+        ps_pdf = sg(ps_pdf)
         ps_ok = ps_pdf > 0
-        r_l_new = jnp.where((resume & ps_ok)[:, None],
-                            r_u / jnp.maximum(ps_pdf, 1e-30)[:, None], r_l)
+        # beta *= p(theta)/pdf* — forward 1 for HG, carries d log p / d g
+        p_theta = phase_ops.hg_phase(wo2, wi, g)
+        f_phase = jnp.where((resume & ps_ok)[:, None],
+                            p_theta[:, None] / jnp.maximum(ps_pdf, 1e-30)[:, None], 1.0)
+        beta = beta * f_phase
+        r_l_new = sg(jnp.where((resume & ps_ok)[:, None],
+                               r_u / jnp.maximum(ps_pdf, 1e-30)[:, None], r_l))
         # scatter position: for esc_s rays it's the stored shadow origin;
         # for skip_nee rays it's p_scat
         p_resume = jnp.where(esc_s[:, None], c.so, p_scat)
@@ -388,6 +431,7 @@ def li(
             ls_L=jnp.where(nee_valid[:, None], ls.L, c.ls_L),
             ls_pdf=jnp.where(nee_valid, ls.pdf, c.ls_pdf),
             f_hat=jnp.where(nee_valid, f_hat, c.f_hat),
+            f_hat_d=jnp.where(nee_valid, f_hat_d, c.f_hat_d),
             is_delta=jnp.where(nee_valid, is_delta, c.is_delta),
             dl_target=dl_target, dl_since=dl_since,
             reached=c.reached & ~col_any,
@@ -423,5 +467,13 @@ def li(
         )
         return c._replace(n_steps=c.n_steps + 1)
 
-    end = jax.lax.while_loop(cond, body, regs)
+    if fixed_steps is None:
+        end = jax.lax.while_loop(cond, body, regs)
+    else:
+        # reverse-differentiable: bounded scan with per-step rematerialization
+        @jax.checkpoint
+        def scan_body(c, _):
+            return body(c), None
+
+        end, _ = jax.lax.scan(scan_body, regs, None, length=fixed_steps)
     return LiResult(L=end.L, rng=end.rng)

@@ -113,6 +113,10 @@ class MediumArrays(NamedTuple):
     sigma_a: jnp.ndarray
     sigma_s: jnp.ndarray
     Le: jnp.ndarray
+    # frozen sampling-side density / anisotropy for the detached
+    # differentiable estimator (None => use density / g); see volpath_fused
+    density_s: object = None
+    g_s: object = None
 
 
 def world_to_medium(w2m, p):
