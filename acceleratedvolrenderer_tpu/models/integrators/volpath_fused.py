@@ -119,12 +119,19 @@ def li(
     max_march_steps: int = 100000,
     k_substeps: int = 8,
     fixed_steps=None,
+    rgb_mode: bool = False,
 ) -> LiResult:
     N = o.shape[0]
     LANES = lam.shape[-1]
     f32 = jnp.float32
 
-    sigma_t = jnp.broadcast_to(med.sigma_a + med.sigma_s, (N, LANES))
+    if rgb_mode:
+        # RGBGridMedium: the majorant grid already holds spectral-max
+        # sigma_t per cell (media.cpp:364-376), so the per-ray sigma_t
+        # spectrum is 1 and coefficients come from the grids per collision
+        sigma_t = jnp.ones((N, LANES), jnp.float32)
+    else:
+        sigma_t = jnp.broadcast_to(med.sigma_a + med.sigma_s, (N, LANES))
     sigma_a_b = jnp.broadcast_to(med.sigma_a, (N, LANES))
     sigma_s_b = jnp.broadcast_to(med.sigma_s, (N, LANES))
     Le_b = jnp.broadcast_to(med.Le, (N, LANES))
@@ -237,6 +244,9 @@ def li(
         if homogeneous:
             dens = jnp.ones((N,), f32)
             dens_d = dens
+        elif rgb_mode:
+            dens = jnp.ones((N,), f32)   # coefficients resolved below
+            dens_d = dens
         else:
             p_w = c.so + c.t_cur[:, None] * c.sd
             p_m = world_to_medium(med.w2m, p_w)
@@ -249,10 +259,22 @@ def li(
         vy = jnp.clip(c.voxel[:, 1], 0, ry - 1)
         vz = jnp.clip(c.voxel[:, 2], 0, rz - 1)
         maxd = sg(med.majorant[vz, vy, vx])
-        sa = sigma_a_b * dens[:, None]             # evaluation side (diff)
-        ss = sigma_s_b * dens[:, None]
-        sa_d = sg(sigma_a_b) * dens_d[:, None]     # sampling side (frozen)
-        ss_d = sg(sigma_s_b) * dens_d[:, None]
+        if rgb_mode:
+            from ...utils import spectrum as _sp
+
+            p_w = c.so + c.t_cur[:, None] * c.sd
+            p_m = world_to_medium(med.w2m, p_w)
+            rgb_a = gridops.trilerp_vec(med.sigma_a_rgb, p_m)
+            rgb_s = gridops.trilerp_vec(med.sigma_s_rgb, p_m)
+            sa = _sp.rgb_to_spectrum_smits_batched(rgb_a, lam)
+            ss = _sp.rgb_to_spectrum_smits_batched(rgb_s, lam)
+            sa_d = sg(sa)
+            ss_d = sg(ss)
+        else:
+            sa = sigma_a_b * dens[:, None]             # evaluation side (diff)
+            ss = sigma_s_b * dens[:, None]
+            sa_d = sg(sigma_a_b) * dens_d[:, None]     # sampling side (frozen)
+            ss_d = sg(sigma_s_b) * dens_d[:, None]
         sig_maj = sigma_t * maxd[:, None]
         sig_maj0 = sg(sig_maj[:, 0])
         T_maj = jnp.exp(-sigma_t * c.dl_since[:, None])
@@ -277,7 +299,12 @@ def li(
         betap = c.beta * T_maj / jnp.maximum(pdf_e, 1e-30)[:, None]
         r_e = sg(c.r_u * sig_maj * T_maj) / jnp.maximum(pdf_e, 1e-30)[:, None]
         r_e_avg = sg(jnp.mean(r_e, axis=-1))
-        contrib_e = betap * sa * Le_b / jnp.maximum(r_e_avg, 1e-30)[:, None]
+        if rgb_mode and med.Le_rgb is not None:
+            rgb_e = gridops.trilerp_vec(med.Le_rgb, p_m)
+            Le_here = _sp.rgb_to_spectrum_smits_batched(rgb_e, lam)
+        else:
+            Le_here = Le_b
+        contrib_e = betap * sa * Le_here / jnp.maximum(r_e_avg, 1e-30)[:, None]
         emit_ok = col_m & (pdf_e > 0) & (r_e_avg > 0) & (c.depth < max_depth)
         L_acc = c.L + jnp.where(emit_ok[:, None], contrib_e, 0.0)
 

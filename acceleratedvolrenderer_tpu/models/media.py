@@ -41,13 +41,36 @@ class MediumSpec:
     majorant_res: Tuple[int, int, int] = (16, 16, 16)   # media.cpp:229 (16^3)
     # optional medium-to-world transform beyond the bounds box
     m2w: Optional[np.ndarray] = None   # (4,4)
+    # RGBGridMedium (media.h:355): per-voxel RGB coefficient grids
+    # (nz, ny, nx, 3); when set, `density` is ignored
+    sigma_a_rgb: Optional[np.ndarray] = None
+    sigma_s_rgb: Optional[np.ndarray] = None
+    Le_rgb: Optional[np.ndarray] = None
+
+    @property
+    def rgb(self) -> bool:
+        return self.sigma_a_rgb is not None
 
     @property
     def homogeneous(self) -> bool:
-        return self.density is None
+        return self.density is None and not self.rgb
 
     def maj_res(self):
         return (1, 1, 1) if self.homogeneous else self.majorant_res
+
+    def build_majorant(self) -> np.ndarray:
+        """Per-cell conservative max.  Scalar grids: max density (the sigma
+        spectra multiply at march time).  RGB grids: per-cell max over
+        channels of (sigma_a + sigma_s) * scale (media.cpp:364-376)."""
+        from ..ops import grid as gridops
+
+        if self.homogeneous:
+            return np.ones((1, 1, 1), np.float32)
+        if self.rgb:
+            st = (np.asarray(self.sigma_a_rgb, np.float32)
+                  + np.asarray(self.sigma_s_rgb, np.float32)).max(axis=-1)
+            return gridops.build_majorant_grid(st * self.scale, self.maj_res())
+        return gridops.build_majorant_grid(np.asarray(self.density), self.maj_res())
 
     def world_to_unit(self) -> np.ndarray:
         """(4,4) world -> [0,1]^3 medium matrix."""
@@ -63,17 +86,22 @@ class MediumSpec:
     def build_arrays(self, lam) -> MediumArrays:
         """Resolve to MediumArrays at the batch's sampled wavelengths
         lam (N, LANES)."""
-        if self.homogeneous:
+        maj = jnp.asarray(self.build_majorant())
+        if self.homogeneous or self.rgb:
             dens = jnp.ones((1, 1, 1), jnp.float32)
-            maj = jnp.ones((1, 1, 1), jnp.float32)
         else:
             dens = jnp.asarray(self.density, jnp.float32)
-            maj = jnp.asarray(
-                gridops.build_majorant_grid(np.asarray(self.density), self.maj_res())
-            )
         sa = self.sigma_a_spec(lam) * self.scale
         ss = self.sigma_s_spec(lam) * self.scale
         Le = self.Le_spec(lam) * self.Le_scale if self.Le_spec is not None else jnp.zeros_like(lam)
+        kw = {}
+        if self.rgb:
+            kw = dict(
+                sigma_a_rgb=jnp.asarray(self.sigma_a_rgb, jnp.float32) * self.scale,
+                sigma_s_rgb=jnp.asarray(self.sigma_s_rgb, jnp.float32) * self.scale,
+                Le_rgb=(jnp.asarray(self.Le_rgb, jnp.float32) * self.Le_scale
+                        if self.Le_rgb is not None else None),
+            )
         return MediumArrays(
             density=dens,
             majorant=maj,
@@ -82,6 +110,7 @@ class MediumSpec:
             sigma_a=sa,
             sigma_s=ss,
             Le=Le,
+            **kw,
         )
 
 

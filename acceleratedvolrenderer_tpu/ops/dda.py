@@ -117,6 +117,13 @@ class MediumArrays(NamedTuple):
     # differentiable estimator (None => use density / g); see volpath_fused
     density_s: object = None
     g_s: object = None
+    # RGBGridMedium mode (media.h:355): per-voxel RGB coefficient grids
+    # (nz, ny, nx, 3); when set the scalar density grid is ignored and the
+    # march runs with rgb_mode=True (sigma spectra resolved per collision
+    # via the Smits basis; majorant = per-cell max over channels)
+    sigma_a_rgb: object = None
+    sigma_s_rgb: object = None
+    Le_rgb: object = None
 
 
 def world_to_medium(w2m, p):

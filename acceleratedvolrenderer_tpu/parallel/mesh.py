@@ -96,16 +96,26 @@ def make_sharded_wave_renderer(scene, mesh: Mesh, axis_name: str = "rays"):
             ss = med_spec.sigma_s_spec(swl.lam) * med_spec.scale
             Le = (med_spec.Le_spec(swl.lam) * med_spec.Le_scale
                   if med_spec.Le_spec is not None else jnp.zeros_like(swl.lam))
+            rgb_kw = {}
+            if med_spec.rgb:
+                rgb_kw = dict(
+                    sigma_a_rgb=jnp.asarray(med_spec.sigma_a_rgb, jnp.float32) * med_spec.scale,
+                    sigma_s_rgb=jnp.asarray(med_spec.sigma_s_rgb, jnp.float32) * med_spec.scale,
+                    Le_rgb=(jnp.asarray(med_spec.Le_rgb, jnp.float32) * med_spec.Le_scale
+                            if med_spec.Le_rgb is not None else None),
+                )
             med = dda.MediumArrays(
                 density=density, majorant=majorant,
                 w2m=jnp.asarray(med_spec.world_to_unit(), jnp.float32),
                 g=jnp.float32(med_spec.g), sigma_a=sa, sigma_s=ss, Le=Le,
+                **rgb_kw,
             )
             res = volpath.li(
                 med, scene.lights, o, d, swl.lam, rng,
                 maj_res=maj_res, homogeneous=homogeneous,
                 max_depth=scene.max_depth, scene_radius=scene.scene_radius,
                 max_march_steps=scene.max_march_steps,
+                rgb_mode=med_spec.rgb,
             )
             L = res.L
         else:

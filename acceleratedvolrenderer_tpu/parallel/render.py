@@ -25,7 +25,13 @@ from ..utils import spectrum as sp
 
 def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
     """Build a jitted single-wave render fn: (film, density, sample_idx) ->
-    film.  One wave traces one camera sample for every pixel.
+    film.
+
+    One wave traces one camera sample for every pixel, processed in
+    fixed-size ray *chunks* (the wavefront scanline-chunk trick,
+    wavefront/integrator.cpp:231-234): the jitted chunk program is
+    independent of film resolution, so it compiles once and is reused
+    across chunks, waves, and even scenes sharing the medium config.
 
     The density grid is an explicit argument so the same compiled renderer
     serves the differentiable path (gradients w.r.t. density flow through
@@ -41,27 +47,30 @@ def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
     filt = scene.filter
 
     if med_spec is not None and not homogeneous:
-        density_const = jnp.asarray(med_spec.density, jnp.float32)
-        from ..ops import grid as gridops
-
-        majorant_const = jnp.asarray(
-            gridops.build_majorant_grid(np.asarray(med_spec.density), maj_res)
-        )
+        density_const = (jnp.asarray(med_spec.density, jnp.float32)
+                         if med_spec.density is not None
+                         else jnp.ones((1, 1, 1), jnp.float32))
+        majorant_const = jnp.asarray(med_spec.build_majorant())
     else:
         density_const = jnp.ones((1, 1, 1), jnp.float32)
         majorant_const = jnp.ones((1, 1, 1), jnp.float32)
 
+    total = H * W
+    chunk = min(rays_per_wave or 262144, total)
+    n_chunks = (total + chunk - 1) // chunk
     ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    pixel_xy_const = jnp.asarray(
-        np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1), jnp.int32
-    )
-    pixel_index_const = jnp.arange(H * W, dtype=jnp.uint32)
+    pix_all = np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1).astype(np.int32)
+    pad = n_chunks * chunk - total
+    if pad:
+        pix_all = np.concatenate([pix_all, np.full((pad, 2), -1, np.int32)])
+    pix_chunks = jnp.asarray(pix_all.reshape(n_chunks, chunk, 2))
+    idx_all = np.arange(n_chunks * chunk, dtype=np.uint32)
+    idx_chunks = jnp.asarray(idx_all.reshape(n_chunks, chunk))
 
     @partial(jax.jit, donate_argnums=(0,))
-    def render_wave(film: Film, density, majorant, sample_idx):
-        N = H * W
-        pix = pixel_xy_const
-        rng = dda.seed_stream(pixel_index_const, jnp.full((N,), sample_idx, jnp.uint32),
+    def render_chunk(film: Film, density, majorant, sample_idx, pix, pixidx):
+        N = pix.shape[0]
+        rng = dda.seed_stream(pixidx, jnp.full((N,), sample_idx, jnp.uint32),
                               salt=scene.seed)
         # camera sample: filter-importance-sampled film offset
         rng, ua = dda.pcg_uniform(rng)
@@ -78,16 +87,26 @@ def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
             ss = med_spec.sigma_s_spec(swl.lam) * med_spec.scale
             Le = (med_spec.Le_spec(swl.lam) * med_spec.Le_scale
                   if med_spec.Le_spec is not None else jnp.zeros_like(swl.lam))
+            rgb_kw = {}
+            if med_spec.rgb:
+                rgb_kw = dict(
+                    sigma_a_rgb=jnp.asarray(med_spec.sigma_a_rgb, jnp.float32) * med_spec.scale,
+                    sigma_s_rgb=jnp.asarray(med_spec.sigma_s_rgb, jnp.float32) * med_spec.scale,
+                    Le_rgb=(jnp.asarray(med_spec.Le_rgb, jnp.float32) * med_spec.Le_scale
+                            if med_spec.Le_rgb is not None else None),
+                )
             med = dda.MediumArrays(
                 density=density, majorant=majorant,
                 w2m=jnp.asarray(med_spec.world_to_unit(), jnp.float32),
                 g=jnp.float32(med_spec.g), sigma_a=sa, sigma_s=ss, Le=Le,
+                **rgb_kw,
             )
             res = volpath.li(
                 med, lights, o, d, swl.lam, rng,
                 maj_res=maj_res, homogeneous=homogeneous,
                 max_depth=scene.max_depth, scene_radius=scene.scene_radius,
                 max_march_steps=scene.max_march_steps,
+                rgb_mode=med_spec.rgb,
             )
             L = res.L
         else:
@@ -97,6 +116,12 @@ def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
             L = Le_inf
 
         return film.add_samples(pix, L, swl)
+
+    def render_wave(film: Film, density, majorant, sample_idx):
+        for ci in range(n_chunks):
+            film = render_chunk(film, density, majorant, sample_idx,
+                                pix_chunks[ci], idx_chunks[ci])
+        return film
 
     return render_wave, density_const, majorant_const
 

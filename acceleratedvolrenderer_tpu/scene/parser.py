@@ -404,7 +404,31 @@ class PbrtParser:
         Le = _to_spectrum(*params["Le"]) if "Le" in params else None
         Le_scale = float(params.get("Lescale", (None, ["1"]))[1][0])
         m2w = self.state.ctm.copy()
-        if kind in ("uniformgrid", "rgbgrid"):
+        if kind == "rgbgrid":
+            # RGBGridMedium: per-voxel RGB sigma_a/sigma_s (+Le) arrays
+            nx = int(params["nx"][1][0])
+            ny = int(params["ny"][1][0])
+            nz = int(params["nz"][1][0])
+            p0 = _floats(params.get("p0", (None, ["0", "0", "0"]))[1])
+            p1 = _floats(params.get("p1", (None, ["1", "1", "1"]))[1])
+
+            def grid3(key):
+                if key not in params:
+                    return None
+                return np.asarray(_floats(params[key][1]), np.float32).reshape(nz, ny, nx, 3)
+
+            spec = MediumSpec(
+                sigma_a_spec=sa, sigma_s_spec=ss, g=g, scale=scale,
+                bounds_lo=np.asarray(p0, np.float32),
+                bounds_hi=np.asarray(p1, np.float32),
+                Le_scale=Le_scale,
+                sigma_a_rgb=grid3("sigma_a"),
+                sigma_s_rgb=grid3("sigma_s"),
+                Le_rgb=grid3("Le"),
+                majorant_res=(16, 16, 16),
+                m2w=m2w if not np.allclose(m2w, np.eye(4)) else None,
+            )
+        elif kind == "uniformgrid":
             nx = int(params["nx"][1][0])
             ny = int(params["ny"][1][0])
             nz = int(params["nz"][1][0])

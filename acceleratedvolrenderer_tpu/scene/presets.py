@@ -50,7 +50,7 @@ def fog_box(res=256, spp=64, max_depth=5):
 
 
 def cloud(width=1280, height=720, spp=16, max_depth=40, grid_res=256,
-          g=0.877, sigma_scale=4.0):
+          g=0.877, sigma_scale=2.0):
     """Config 2 analog: disney-cloud-720p — GridMedium with majorant grid,
     strong forward scattering, sun + sky.
 
@@ -143,4 +143,36 @@ def sphere_medium(res=640, height=480, spp=16, max_depth=8):
         lights=[lm.DistantLight(direction=np.array([0.0, -1.0, 0.0]),
                                 spectrum=flat(3.0), scene_radius=10.0)],
         max_depth=max_depth, spp=spp, scene_radius=10.0,
+    )
+
+
+def explosion(res=256, spp=32):
+    """Config 3 (full form): RGBGridMedium — per-voxel RGB sigma_a/sigma_s +
+    RGB emission, fireball-style (media.h:355 RGBGridMedium capability)."""
+    n = 80
+    dens = bake_cloud_density(res=(n, n, n), density=1.0, extent=0.42,
+                              frequency=4.5, seed=7)
+    # temperature-like radial profile drives color: hot core -> orange shell
+    zs, ys, xs = np.meshgrid(*([np.linspace(0, 1, n)] * 3), indexing="ij")
+    r = np.linalg.norm(np.stack([xs, ys, zs], -1) - 0.5, axis=-1) / 0.42
+    heat = np.clip(1.0 - r, 0.0, 1.0) ** 1.5 * dens
+    sigma_a_rgb = np.stack([dens * 3.0, dens * 3.6, dens * 4.2], -1)
+    sigma_s_rgb = np.stack([dens * 0.8, dens * 0.7, dens * 0.6], -1)
+    Le_rgb = np.stack([heat * 8.0, heat * 3.0, heat * 0.8], -1)
+    med = MediumSpec(
+        sigma_a_spec=flat(1.0), sigma_s_spec=flat(1.0), g=0.0, scale=1.0,
+        bounds_lo=np.zeros(3, np.float32), bounds_hi=np.ones(3, np.float32),
+        sigma_a_rgb=sigma_a_rgb.astype(np.float32),
+        sigma_s_rgb=sigma_s_rgb.astype(np.float32),
+        Le_rgb=Le_rgb.astype(np.float32),
+        majorant_res=(16, 16, 16),
+    )
+    cam = PerspectiveCamera(
+        c2w=vm.look_at((0.5, 0.55, -2.3), (0.5, 0.48, 0.5), (0, 1, 0)),
+        fov_deg=32.0, width=res, height=res,
+    )
+    return Scene(
+        camera=cam, medium=med,
+        lights=[lm.UniformInfiniteLight(spectrum=flat(0.01), scene_radius=10.0)],
+        max_depth=6, spp=spp, scene_radius=10.0,
     )

@@ -274,3 +274,51 @@ def spectrum_to_photometric(spec_fn):
     y = np.asarray(cie_y(jnp.asarray(lam)))
     integ = float(np.sum(v * y))
     return 683.0 * integ / CIE_Y_INTEGRAL if integ > 0 else 0.0
+
+
+def rgb_to_spectrum_smits_batched(rgb, lam):
+    """Branch-free batched Smits RGB->spectrum evaluation.
+
+    rgb: (..., 3) reflectance-scale values; lam: (..., L) wavelengths;
+    returns (..., L).  Vectorized version of rgb_albedo_spectrum for
+    per-voxel RGB media (RGBGridMedium, media.h:355): all three component
+    orderings are evaluated and masked, so the whole batch stays on the VPU.
+    """
+    import jax.numpy as jnp
+
+    r = rgb[..., 0:1]
+    g = rgb[..., 1:2]
+    b = rgb[..., 2:3]
+    white = _smits_interp(_SMITS_WHITE, lam)
+    cyan = _smits_interp(_SMITS_CYAN, lam)
+    magenta = _smits_interp(_SMITS_MAGENTA, lam)
+    yellow = _smits_interp(_SMITS_YELLOW, lam)
+    red = _smits_interp(_SMITS_RED, lam)
+    green = _smits_interp(_SMITS_GREEN, lam)
+    blue = _smits_interp(_SMITS_BLUE, lam)
+
+    # case r <= g, r <= b
+    c1 = (r <= g) & (r <= b)
+    c1a = g <= b
+    out1 = r * white + jnp.where(
+        c1a,
+        (g - r) * cyan + (b - g) * blue,
+        (b - r) * cyan + (g - b) * green,
+    )
+    # case g <= r, g <= b
+    c2 = (g <= r) & (g <= b) & ~c1
+    c2a = r <= b
+    out2 = g * white + jnp.where(
+        c2a,
+        (r - g) * magenta + (b - r) * blue,
+        (b - g) * magenta + (r - b) * red,
+    )
+    # case b smallest
+    c3a = r <= g
+    out3 = b * white + jnp.where(
+        c3a,
+        (r - b) * yellow + (g - r) * green,
+        (g - b) * yellow + (r - g) * red,
+    )
+    out = jnp.where(c1, out1, jnp.where(c2, out2, out3))
+    return jnp.clip(out, 0.0, None)

@@ -28,10 +28,10 @@ def main():
     from acceleratedvolrenderer_tpu.scene import presets
 
     width, height = 1280, 720
-    warm_spp = 1
-    bench_spp = 4
+    bench_spp = 2
 
-    scene = presets.cloud(width=width, height=height, spp=bench_spp, max_depth=40)
+    scene = presets.cloud(width=width, height=height, spp=bench_spp, max_depth=16)
+    scene.max_march_steps = 4096
     render_wave, density, majorant = render_mod.make_wave_renderer(scene)
 
     from acceleratedvolrenderer_tpu.models.film import Film

@@ -168,3 +168,18 @@ def test_single_scatter_direct_estimator():
     got = float(res.L.mean())
     expect = ss / (4 * np.pi) * 10.0
     assert abs(got - expect) / expect < 0.02, (got, expect)
+
+
+def test_rgb_grid_medium_renders():
+    """RGBGridMedium end-to-end: emissive RGB volume produces a finite,
+    colored (non-gray) image with a hot core."""
+    from acceleratedvolrenderer_tpu.scene import presets
+
+    scene = presets.explosion(res=12, spp=8)
+    img, _ = render_mod.render(scene)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01
+    # fire colors: red channel dominates green dominates blue
+    hot = img.reshape(-1, 3)[img.sum(-1).reshape(-1) > 0.05]
+    assert hot.shape[0] > 0
+    assert hot[:, 0].mean() > hot[:, 1].mean() > hot[:, 2].mean()
