@@ -24,6 +24,13 @@ restructured for lockstep SIMD throughput:
   RNG draws commit per-ray only when consumed, so radiance estimates are
   bitwise independent of batch composition and device sharding.
 
+Surfaces: opaque primitives (diffuse + emissive, models.materials) bound
+each main segment (t_max = closest hit); a segment that ends without a real
+medium event either shades the surface (NEE + cosine-sampled bounce +
+Russian roulette past depth 1, cpu/integrators.cpp surface branch) or picks
+up infinite lights.  Scenes without opaque primitives compile the identical
+volumetric-only program (python-level gating).
+
 Differentiability (the hand-derived backward pass of SURVEY.md §7 step 5):
   with the majorant held fixed, delta-tracking sample positions and event
   choices are distributed independently of the medium parameters — ALL
@@ -53,13 +60,18 @@ from ...ops.dda import (
     world_to_medium,
 )
 from ...ops import grid as gridops
+from ...ops import warps
+from ...utils import vecmath as vmu
 from ...utils.math import ONE_MINUS_EPSILON
 from .. import lights as lights_mod
+from .. import shapes as shapes_mod
 
 # program counter values
 PC_MARCH = 0
 PC_NEE = 1
 PC_DONE = 2
+
+_SURF_EPS = 1e-4
 
 
 class LiResult(NamedTuple):
@@ -77,6 +89,11 @@ class _Regs(NamedTuple):
     sd: jnp.ndarray          # (N, 3) segment direction (unit)
     # main path context
     d_main: jnp.ndarray      # (N, 3) path direction (= sd while pc==MARCH)
+    # surface hit bounding the current main segment
+    t_surf: jnp.ndarray      # (N,) inf = no surface
+    n_surf: jnp.ndarray      # (N, 3)
+    mat_id: jnp.ndarray      # (N,) int32 index into the opaque prim list
+    at_surface: jnp.ndarray  # (N,) bool — NEE/resume context is a surface
     # DDA registers for the active segment
     voxel: jnp.ndarray
     next_t: jnp.ndarray
@@ -99,8 +116,8 @@ class _Regs(NamedTuple):
     r_u_s: jnp.ndarray
     ls_L: jnp.ndarray        # light sample radiance
     ls_pdf: jnp.ndarray      # (N,) light pdf (incl. sampler pmf)
-    f_hat: jnp.ndarray       # (N,) phase value at the NEE direction (eval side)
-    f_hat_d: jnp.ndarray     # (N,) sampling-side phase value (MIS pdf role)
+    f_spec: jnp.ndarray      # (N, LANES) NEE numerator (phase value or f*cos)
+    spdf_d: jnp.ndarray      # (N,) sampling-side scatter pdf at the NEE dir
     is_delta: jnp.ndarray    # (N,) bool
     n_steps: jnp.ndarray     # scalar
 
@@ -120,10 +137,27 @@ def li(
     k_substeps: int = 8,
     fixed_steps=None,
     rgb_mode: bool = False,
+    prims: tuple = (),
 ) -> LiResult:
     N = o.shape[0]
     LANES = lam.shape[-1]
     f32 = jnp.float32
+
+    opaque = tuple(p for p in prims if p.material is not None)
+    has_surf = len(opaque) > 0
+    if has_surf:
+        albedos = jnp.stack(
+            [p.material.reflectance(lam) * jnp.ones((N, LANES)) for p in opaque]
+        )  # (M, N, L)
+        emissions = jnp.stack(
+            [
+                (p.material.emission(lam) * p.material.emission_scale
+                 if p.material.emissive else jnp.zeros((N, LANES)))
+                * jnp.ones((N, LANES))
+                for p in opaque
+            ]
+        )
+        emissive_mask = jnp.asarray([p.material.emissive for p in opaque])
 
     if rgb_mode:
         # RGBGridMedium: the majorant grid already holds spectral-max
@@ -141,9 +175,19 @@ def li(
     maj_res_i = jnp.asarray(maj_res, jnp.int32)
     rz, ry, rx = med.majorant.shape
 
-    def init_segment(so, sd, t_max, rng, need, old):
-        """(Re)initialize DDA registers for rays in `need`; also draws the
-        first tau target.  `old` is the current _Regs to preserve the rest."""
+    def init_segment(so, sd, t_max, rng, need, old, need_main=None):
+        """(Re)initialize DDA registers for rays in `need`; draws the first
+        tau target.  Rays in `need_main` also re-intersect the opaque
+        primitive list to bound the segment (t_surf)."""
+        t_surf = old.t_surf
+        n_surf = old.n_surf
+        mat_id = old.mat_id
+        if has_surf and need_main is not None:
+            hit = shapes_mod.intersect_all(opaque, so, sd, jnp.inf)
+            t_surf = jnp.where(need_main, hit.t, old.t_surf)
+            n_surf = jnp.where(need_main[:, None], hit.n, old.n_surf)
+            mat_id = jnp.where(need_main, hit.prim_id, old.mat_id)
+            t_max = jnp.where(need_main, jnp.minimum(t_max, t_surf), t_max)
         dda, t0 = dda_init(so, sd, t_max, med.w2m, maj_res)
         rng, u0 = pcg_uniform_masked(rng, need & dda.in_medium)
         u0 = jnp.minimum(u0, ONE_MINUS_EPSILON)
@@ -154,6 +198,7 @@ def li(
         return old._replace(
             so=jnp.where(sel3, so, old.so),
             sd=jnp.where(sel3, sd, old.sd),
+            t_surf=t_surf, n_surf=n_surf, mat_id=mat_id,
             voxel=jnp.where(sel3, dda.voxel, old.voxel),
             next_t=jnp.where(sel3, dda.next_t, old.next_t),
             dt=jnp.where(sel3, dda.dt, old.dt),
@@ -175,6 +220,10 @@ def li(
         depth=jnp.zeros((N,), jnp.int32),
         rng=rng,
         so=o, sd=d, d_main=d,
+        t_surf=jnp.full((N,), jnp.inf, f32),
+        n_surf=jnp.zeros((N, 3), f32),
+        mat_id=jnp.full((N,), -1, jnp.int32),
+        at_surface=jnp.zeros((N,), bool),
         voxel=jnp.zeros((N, 3), jnp.int32),
         next_t=jnp.zeros((N, 3), f32),
         dt=jnp.zeros((N, 3), f32),
@@ -194,13 +243,14 @@ def li(
         r_u_s=jnp.ones((N, LANES), f32),
         ls_L=zero_s,
         ls_pdf=jnp.zeros((N,), f32),
-        f_hat=jnp.zeros((N,), f32),
-        f_hat_d=jnp.zeros((N,), f32),
+        f_spec=zero_s,
+        spdf_d=jnp.zeros((N,), f32),
         is_delta=jnp.zeros((N,), bool),
         n_steps=jnp.int32(0),
     )
     regs, _ = init_segment(o, d, jnp.full((N,), jnp.inf, f32), rng,
-                           jnp.ones((N,), bool), regs)
+                           jnp.ones((N,), bool), regs,
+                           need_main=jnp.ones((N,), bool))
 
     def substep(c: _Regs) -> _Regs:
         """One DDA voxel advance for rays hunting their collision target."""
@@ -281,7 +331,6 @@ def li(
         sig_n = jnp.clip(sig_maj - sa - ss, 0.0, None)
         sig_n_d = sg(jnp.clip(sg(sig_maj) - sa_d - ss_d, 0.0, None))
 
-        # fresh tau targets for continuing rays (drawn where consumed)
         rng = c.rng
 
         # =========== MAIN-PATH COLLISIONS (pc == MARCH) ===========
@@ -338,36 +387,89 @@ def li(
         do_scatter = is_scatter & ~over
         depth = c.depth + jnp.where(do_scatter, 1, 0)
 
-        # =========== MAIN-PATH SEGMENT ESCAPE (pc == MARCH) ===========
+        # =========== MAIN-PATH SEGMENT END (pc == MARCH) ===========
         esc_m = c.seg_escaped & (c.pc == PC_MARCH)
-        # escaped rays: residual T_maj/T_maj[0], then infinite lights + DONE
+        # residual T_maj / T_maj[0]
         T_res = jnp.exp(-sigma_t * c.dl_since[:, None])
         f_res = T_res / jnp.maximum(sg(T_res[:, 0:1]), 1e-30)
         beta = jnp.where(esc_m[:, None], beta * f_res, beta)
         r_u = sg(jnp.where(esc_m[:, None], r_u * f_res, r_u))
         r_l = sg(jnp.where(esc_m[:, None], r_l * f_res, r_l))
+
+        if has_surf:
+            hit_surf = esc_m & jnp.isfinite(c.t_surf)
+            to_sky = esc_m & ~jnp.isfinite(c.t_surf)
+        else:
+            hit_surf = jnp.zeros((N,), bool)
+            to_sky = esc_m
+
+        # sky: infinite lights with MIS (volpath escape branch)
         Le_inf, pdf_inf = lights_mod.escaped_radiance(lights, c.d_main, lam)
         first = c.depth == 0
         denom_first = jnp.mean(r_u, axis=-1)
         denom_mis = jnp.mean(r_u + r_l * pdf_inf[:, None], axis=-1)
         denom = sg(jnp.where(first, denom_first, denom_mis))
         contrib_inf = beta * Le_inf / jnp.maximum(denom, 1e-30)[:, None]
-        L_acc = L_acc + jnp.where((esc_m & (denom > 0))[:, None], contrib_inf, 0.0)
+        L_acc = L_acc + jnp.where((to_sky & (denom > 0))[:, None], contrib_inf, 0.0)
 
-        # =========== SCATTER: set up NEE shadow segment ===========
+        # surface shading setup
+        if has_surf:
+            p_hit = c.so + c.t_surf[:, None] * c.sd
+            wo_s = -c.d_main
+            mid = jnp.clip(c.mat_id, 0, len(opaque) - 1)
+            albedo = jnp.take_along_axis(
+                albedos, mid[None, :, None], axis=0)[0]      # (N, L)
+            Le_mat = jnp.take_along_axis(
+                emissions, mid[None, :, None], axis=0)[0]
+            is_emissive = emissive_mask[mid]
+            n_f = vmu.face_forward(c.n_surf, wo_s)
+            front = vmu.dot(c.n_surf, wo_s) > 0
+            # emitters: found by path sampling only (not NEE'd) => weight
+            # 1/mean(r_u); one-sided emission
+            hit_emit = hit_surf & is_emissive & front
+            contrib_le = beta * Le_mat / jnp.maximum(denom_first, 1e-30)[:, None]
+            L_acc = L_acc + jnp.where(hit_emit[:, None], contrib_le, 0.0)
+            # diffuse bounce (depth-capped like scatters)
+            hit_diff = hit_surf & ~is_emissive
+            over_s = hit_diff & (c.depth >= max_depth)
+            do_surf = hit_diff & ~over_s
+            depth = depth + jnp.where(do_surf, 1, 0)
+        else:
+            hit_emit = jnp.zeros((N,), bool)
+            over_s = jnp.zeros((N,), bool)
+            do_surf = jnp.zeros((N,), bool)
+
+        # =========== NEE SETUP (volume scatter or surface bounce) ===========
         p_scat = c.so + c.t_cur[:, None] * c.sd
         wo = -c.d_main
-        rng, u1 = pcg_uniform_masked(rng, do_scatter)
-        rng, u2a = pcg_uniform_masked(rng, do_scatter)
-        rng, u2b = pcg_uniform_masked(rng, do_scatter)
+        want_nee = do_scatter | do_surf
+        rng, u1 = pcg_uniform_masked(rng, want_nee)
+        rng, u2a = pcg_uniform_masked(rng, want_nee)
+        rng, u2b = pcg_uniform_masked(rng, want_nee)
+        if has_surf:
+            p_vertex = jnp.where(do_surf[:, None],
+                                 p_hit + n_f * _SURF_EPS, p_scat)
+        else:
+            p_vertex = p_scat
         ls, is_delta = lights_mod.sample_one_light(
-            lights, p_scat, u1, jnp.stack([u2a, u2b], -1), lam
+            lights, p_vertex, u1, jnp.stack([u2a, u2b], -1), lam
         )
         f_hat = phase_ops.hg_phase(wo, ls.wi, g)   # differentiable in g
         f_hat_d = sg(phase_ops.hg_phase(wo, ls.wi, g_samp))  # pdf role
-        nee_valid = do_scatter & ls.valid & (ls.pdf > 0) & (f_hat_d > 0)
-        # rays whose light sample is unusable skip NEE -> sample phase now
-        skip_nee = do_scatter & ~nee_valid
+        if has_surf:
+            cos_l = vmu.dot(ls.wi, n_f)
+            f_surf = albedo / jnp.pi * jnp.maximum(cos_l, 0.0)[:, None]
+            spdf_surf = sg(jnp.maximum(cos_l, 0.0) / jnp.pi)
+            f_spec = jnp.where(do_surf[:, None], f_surf, f_hat[:, None])
+            spdf_d = jnp.where(do_surf, spdf_surf, f_hat_d)
+            occl = shapes_mod.occluded(opaque, p_vertex, ls.wi, ls.dist)
+            extra_ok = jnp.where(do_surf, cos_l > 0, f_hat_d > 0) & ~occl
+        else:
+            f_spec = f_hat[:, None] * jnp.ones((N, LANES))
+            spdf_d = f_hat_d
+            extra_ok = f_hat_d > 0
+        nee_valid = want_nee & ls.valid & (ls.pdf > 0) & extra_ok
+        skip_nee = want_nee & ~nee_valid
 
         # =========== NEE COLLISIONS (pc == NEE) ===========
         col_s = col_any & (c.pc == PC_NEE)
@@ -393,45 +495,85 @@ def li(
 
         # =========== NEE SEGMENT COMPLETE (pc == NEE) ===========
         esc_s = (c.seg_escaped | shadow_dead) & (c.pc == PC_NEE)
-        # residual factor for the shadow segment
         T_ray_f = jnp.where((esc_s & ~shadow_dead)[:, None], T_ray * f_res, T_ray)
         r_l_sf = jnp.where((esc_s & ~shadow_dead)[:, None], r_l_s * f_res, r_l_s)
         r_u_sf = jnp.where((esc_s & ~shadow_dead)[:, None], r_u_s * f_res, r_u_s)
         # contribution (volpath_custom.cpp:723-727): r_p = path r_u
         r_l_nee = r_l_sf * c.r_u * c.ls_pdf[:, None]
-        r_u_nee = r_u_sf * c.r_u * c.f_hat_d[:, None]
+        r_u_nee = r_u_sf * c.r_u * c.spdf_d[:, None]
         denom_nee = sg(jnp.where(c.is_delta, jnp.mean(r_l_nee, axis=-1),
                                  jnp.mean(r_l_nee + r_u_nee, axis=-1)))
-        contrib_nee = (c.beta * c.f_hat[:, None] * T_ray_f * c.ls_L
+        contrib_nee = (c.beta * c.f_spec * T_ray_f * c.ls_L
                        / jnp.maximum(denom_nee, 1e-30)[:, None])
         L_acc = L_acc + jnp.where((esc_s & (denom_nee > 0))[:, None], contrib_nee, 0.0)
 
-        # =========== PHASE SAMPLE (NEE done, or scatter that skipped NEE) ====
+        # =========== RESUME (NEE done, or vertex that skipped NEE) ===========
         resume = esc_s | skip_nee
+        res_surf = resume & c.at_surface if has_surf else jnp.zeros((N,), bool)
+        if has_surf:
+            # skip_nee surface rays haven't set at_surface yet
+            res_surf = (esc_s & c.at_surface) | (skip_nee & do_surf)
         rng, u3a = pcg_uniform_masked(rng, resume)
         rng, u3b = pcg_uniform_masked(rng, resume)
         wo2 = -c.d_main
         wi, ps_pdf = phase_ops.sample_hg(wo2, jnp.stack([u3a, u3b], -1), g_samp)
         ps_pdf = sg(ps_pdf)
-        ps_ok = ps_pdf > 0
         # beta *= p(theta)/pdf* — forward 1 for HG, carries d log p / d g
         p_theta = phase_ops.hg_phase(wo2, wi, g)
-        f_phase = jnp.where((resume & ps_ok)[:, None],
-                            p_theta[:, None] / jnp.maximum(ps_pdf, 1e-30)[:, None], 1.0)
-        beta = beta * f_phase
+        if has_surf:
+            # surfaces: cosine-sampled bounce around the stored normal
+            n_res = jnp.where(esc_s[:, None], c.n_surf, c.n_surf)
+            n_rf = vmu.face_forward(n_res, wo2)
+            local = warps.sample_cosine_hemisphere(jnp.stack([u3a, u3b], -1))
+            bx, by, bz = vmu.frame_from_z(n_rf)
+            wi_surf = vmu.from_local(bx, by, bz, local)
+            cos_s = jnp.maximum(vmu.dot(wi_surf, n_rf), 0.0)
+            pdf_surf = sg(cos_s / jnp.pi)
+            alb_res = jnp.take_along_axis(
+                albedos, jnp.clip(c.mat_id, 0, len(opaque) - 1)[None, :, None],
+                axis=0)[0]
+            wi = jnp.where(res_surf[:, None], wi_surf, wi)
+            ps_pdf = jnp.where(res_surf, pdf_surf, ps_pdf)
+            # f*cos/pdf = albedo for cosine-sampled Lambertian
+            f_over = jnp.where(res_surf[:, None], alb_res,
+                               p_theta[:, None] / jnp.maximum(ps_pdf, 1e-30)[:, None])
+        else:
+            f_over = p_theta[:, None] / jnp.maximum(ps_pdf, 1e-30)[:, None]
+        ps_ok = ps_pdf > 0
+        f_bounce = jnp.where((resume & ps_ok)[:, None], f_over, 1.0)
+        beta = beta * f_bounce
         r_l_new = sg(jnp.where((resume & ps_ok)[:, None],
                                r_u / jnp.maximum(ps_pdf, 1e-30)[:, None], r_l))
-        # scatter position: for esc_s rays it's the stored shadow origin;
-        # for skip_nee rays it's p_scat
-        p_resume = jnp.where(esc_s[:, None], c.so, p_scat)
+        # Russian roulette after surface bounces past depth 1
+        # (cpu/integrators.cpp surface branch)
+        if has_surf:
+            rr_beta = jnp.max(sg(beta) / jnp.maximum(
+                jnp.mean(r_u, axis=-1), 1e-30)[:, None], axis=-1)
+            rr_cand = res_surf & ps_ok & (c.depth > 1) & (rr_beta < 1.0)
+            q = jnp.clip(1.0 - rr_beta, 0.0, 0.95)
+            rng, u_rr2 = pcg_uniform_masked(rng, rr_cand)
+            rr_kill = rr_cand & (u_rr2 < q)
+            beta = jnp.where(rr_cand[:, None] & ~rr_kill[:, None],
+                             beta / jnp.maximum(1.0 - q, 1e-6)[:, None], beta)
+        else:
+            rr_kill = jnp.zeros((N,), bool)
+
+        # resume origin: NEE-returning rays resume from the stored shadow
+        # origin (= the vertex); skip_nee rays from the fresh vertex
+        if has_surf:
+            p_fresh = jnp.where(do_surf[:, None], p_vertex, p_scat)
+        else:
+            p_fresh = p_scat
+        p_resume = jnp.where(esc_s[:, None], c.so, p_fresh)
         d_new = jnp.where((resume & ps_ok)[:, None], wi, c.d_main)
 
         # =========== program counter updates ===========
         pc = c.pc
-        pc = jnp.where(is_absorb | dead_null | over | esc_m, PC_DONE, pc)
+        pc = jnp.where(is_absorb | dead_null | over | to_sky | hit_emit | over_s,
+                       PC_DONE, pc)
         pc = jnp.where(nee_valid, PC_NEE, pc)
-        pc = jnp.where(resume & ps_ok, PC_MARCH, pc)
-        pc = jnp.where(resume & ~ps_ok, PC_DONE, pc)
+        pc = jnp.where(resume & ps_ok & ~rr_kill, PC_MARCH, pc)
+        pc = jnp.where(resume & (~ps_ok | rr_kill), PC_DONE, pc)
         pc = pc.astype(jnp.int32)
 
         # =========== null continuation: fresh tau target in place ===========
@@ -439,7 +581,6 @@ def li(
         u_n = jnp.minimum(u_n, ONE_MINUS_EPSILON)
         dl_new = jnp.where(sigma_t0 > 0,
                            -jnp.log1p(-u_n) / jnp.maximum(sigma_t0, 1e-30), jnp.inf)
-        cont_null = (is_null & ~dead_null) | col_s
         rng, u_n2 = pcg_uniform_masked(rng, col_s & ~shadow_dead)
         u_n2 = jnp.minimum(u_n2, ONE_MINUS_EPSILON)
         dl_new2 = jnp.where(sigma_t0 > 0,
@@ -451,31 +592,31 @@ def li(
         c2 = c._replace(
             pc=pc, depth=depth, rng=rng,
             d_main=d_new,
+            at_surface=jnp.where(nee_valid, do_surf if has_surf else False,
+                                 jnp.where(resume, False, c.at_surface)),
             L=L_acc, beta=beta, r_u=r_u, r_l=r_l_new,
             T_ray=jnp.where(nee_valid[:, None], 1.0, T_ray_f),
             r_l_s=jnp.where(nee_valid[:, None], 1.0, r_l_sf),
             r_u_s=jnp.where(nee_valid[:, None], 1.0, r_u_sf),
             ls_L=jnp.where(nee_valid[:, None], ls.L, c.ls_L),
             ls_pdf=jnp.where(nee_valid, ls.pdf, c.ls_pdf),
-            f_hat=jnp.where(nee_valid, f_hat, c.f_hat),
-            f_hat_d=jnp.where(nee_valid, f_hat_d, c.f_hat_d),
+            f_spec=jnp.where(nee_valid[:, None], f_spec, c.f_spec),
+            spdf_d=jnp.where(nee_valid, spdf_d, c.spdf_d),
             is_delta=jnp.where(nee_valid, is_delta, c.is_delta),
             dl_target=dl_target, dl_since=dl_since,
             reached=c.reached & ~col_any,
         )
 
         # =========== segment (re)initialization ===========
-        # NEE start: shadow ray from p_scat along ls.wi, t_max = ls.dist
-        # MARCH resume: from p_resume along wi, t_max = inf
         need_shadow = nee_valid
-        need_march = resume & ps_ok
-        new_o = jnp.where(need_shadow[:, None], p_scat, p_resume)
+        need_march = resume & ps_ok & ~rr_kill
+        new_o = jnp.where(need_shadow[:, None],
+                          p_vertex if has_surf else p_scat, p_resume)
         new_d = jnp.where(need_shadow[:, None], ls.wi, wi)
         new_tmax = jnp.where(need_shadow, ls.dist, jnp.inf)
         need = need_shadow | need_march
-        c2, in_med = init_segment(new_o, new_d, new_tmax, c2.rng, need, c2)
-        # a NEE segment that misses the medium contributes immediately next
-        # iteration via seg_escaped (handled above); same for MARCH resume.
+        c2, in_med = init_segment(new_o, new_d, new_tmax, c2.rng, need, c2,
+                                  need_main=need_march)
         return c2
 
     def cond(c: _Regs):

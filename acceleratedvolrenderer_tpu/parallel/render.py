@@ -107,6 +107,23 @@ def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
                 max_depth=scene.max_depth, scene_radius=scene.scene_radius,
                 max_march_steps=scene.max_march_steps,
                 rgb_mode=med_spec.rgb,
+                prims=tuple(scene.primitives),
+            )
+            L = res.L
+        elif scene.primitives:
+            # surfaces only: march through an empty medium (zero majorant)
+            med = dda.MediumArrays(
+                density=jnp.ones((1, 1, 1)), majorant=jnp.zeros((1, 1, 1)),
+                w2m=jnp.eye(4), g=jnp.float32(0.0),
+                sigma_a=jnp.zeros_like(swl.lam), sigma_s=jnp.zeros_like(swl.lam),
+                Le=jnp.zeros_like(swl.lam),
+            )
+            res = volpath.li(
+                med, scene.lights, o, d,
+                swl.lam, rng, maj_res=(1, 1, 1), homogeneous=True,
+                max_depth=scene.max_depth, scene_radius=scene.scene_radius,
+                max_march_steps=scene.max_march_steps,
+                prims=tuple(scene.primitives),
             )
             L = res.L
         else:

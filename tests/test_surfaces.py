@@ -1,0 +1,105 @@
+"""Surface rendering tests — the reference's analytic furnace scene family
+(cpu/integrators_test.cpp:72-97): closed diffuse sphere + point light with
+known equilibrium radiance."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acceleratedvolrenderer_tpu.models import lights as lm
+from acceleratedvolrenderer_tpu.models.cameras import PerspectiveCamera
+from acceleratedvolrenderer_tpu.models.film import BoxFilter
+from acceleratedvolrenderer_tpu.models.materials import DiffuseMaterial
+from acceleratedvolrenderer_tpu.models.shapes import Quad, Sphere
+from acceleratedvolrenderer_tpu.parallel import render as render_mod
+from acceleratedvolrenderer_tpu.scene import Scene
+from acceleratedvolrenderer_tpu.utils import spectrum as sp
+from acceleratedvolrenderer_tpu.utils import vecmath as vm
+
+
+def flat(c):
+    return sp.constant_spectrum(c)
+
+
+def lum(img):
+    return img @ np.array([0.2126, 0.7152, 0.0722])
+
+
+def cam(res=8, eye=(0, 0, 0), look=(0, 0, 1)):
+    return PerspectiveCamera(
+        c2w=vm.look_at(eye, look, (0, 1, 0)), fov_deg=50.0, width=res, height=res
+    )
+
+
+def test_point_light_furnace():
+    """Kd=0.5 sphere of radius R with a central point light of intensity
+    I = pi R^2: equilibrium radiance L = (rho/pi) (I/R^2) / (1-rho) = 1
+    (reference integrators_test.cpp:72-97 'pi point light => L==1')."""
+    R = 10.0
+    sphere = Sphere(center=np.zeros(3), radius=R,
+                    material=DiffuseMaterial(reflectance=flat(0.5)))
+    light = lm.PointLight(position=np.zeros(3), spectrum=flat(np.pi * R * R))
+    scene = Scene(
+        camera=cam(8), medium=None, lights=[light],
+        primitives=[sphere], max_depth=40, filter=BoxFilter(), spp=128,
+        scene_radius=30.0,
+    )
+    img, _ = render_mod.render(scene)
+    avg = lum(img).mean()
+    assert abs(avg - 1.0) < 0.04, avg
+
+
+def test_diffuse_albedo_under_env():
+    """A diffuse floor under a uniform environment of radiance 1: looking at
+    the floor sees L = albedo (perfect importance cancellation + furnace)."""
+    albedo = 0.6
+    floor = Quad(origin=np.array([-50.0, -1.0, -50.0]),
+                 e1=np.array([100.0, 0.0, 0.0]), e2=np.array([0.0, 0.0, 100.0]),
+                 material=DiffuseMaterial(reflectance=flat(albedo)))
+    scene = Scene(
+        camera=cam(8, eye=(0, 1.5, -3), look=(0, -1, 2)), medium=None,
+        lights=[lm.UniformInfiniteLight(spectrum=flat(1.0), scene_radius=200.0)],
+        primitives=[floor], max_depth=16, filter=BoxFilter(), spp=256,
+        scene_radius=200.0,
+    )
+    img, _ = render_mod.render(scene)
+    # center pixels view the floor; with one bounce dominating, L ~ albedo
+    center = lum(img)[3:5, 3:5].mean()
+    assert abs(center - albedo) < 0.05, center
+
+
+def test_emissive_quad_seen_directly():
+    le = 2.5
+    # winding: e1 x e2 = -z so the emissive side faces the camera
+    # (one-sided emission like DiffuseAreaLight's default)
+    quad = Quad(origin=np.array([-1.0, -1.0, 3.0]),
+                e1=np.array([0.0, 2.0, 0.0]), e2=np.array([2.0, 0.0, 0.0]),
+                material=DiffuseMaterial(reflectance=flat(0.0),
+                                         emission=flat(le)))
+    scene = Scene(
+        camera=cam(8), medium=None, lights=[], primitives=[quad],
+        max_depth=3, filter=BoxFilter(), spp=32, scene_radius=50.0,
+    )
+    img, _ = render_mod.render(scene)
+    center = lum(img)[3:5, 3:5].mean()
+    assert abs(center - le) / le < 0.02, center
+
+
+def test_fog_over_diffuse_floor():
+    """Medium + surface interplay: foggy box over a lit floor renders
+    finite and brighter than without the light."""
+    from acceleratedvolrenderer_tpu.models.media import homogeneous_box
+
+    floor = Quad(origin=np.array([-10.0, 0.0, -10.0]),
+                 e1=np.array([20.0, 0.0, 0.0]), e2=np.array([0.0, 0.0, 20.0]),
+                 material=DiffuseMaterial(reflectance=flat(0.4)))
+    med = homogeneous_box(flat(0.1), flat(0.4), lo=(-2, 0, -2), hi=(2, 2, 2))
+    scene = Scene(
+        camera=cam(8, eye=(0, 1.0, -4), look=(0, 0.8, 0)), medium=med,
+        lights=[lm.DistantLight(direction=np.array([0.2, -1.0, 0.1]),
+                                spectrum=flat(3.0), scene_radius=50.0)],
+        primitives=[floor], max_depth=8, filter=BoxFilter(), spp=64,
+        scene_radius=50.0,
+    )
+    img, _ = render_mod.render(scene)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01
