@@ -1,0 +1,78 @@
+"""BDPT tests: strategy decomposition structure + statistical agreement with
+the forward VolPath estimator on a thin medium (where s=1,t=2 dominates and
+equals single-scatter NEE)."""
+import numpy as np
+import pytest
+
+from acceleratedvolrenderer_tpu.models import lights as lm
+from acceleratedvolrenderer_tpu.models.cameras import PerspectiveCamera
+from acceleratedvolrenderer_tpu.models.film import BoxFilter
+from acceleratedvolrenderer_tpu.models.integrators import bdpt
+from acceleratedvolrenderer_tpu.models.media import homogeneous_box
+from acceleratedvolrenderer_tpu.scene import Scene
+from acceleratedvolrenderer_tpu.utils import spectrum as sp
+from acceleratedvolrenderer_tpu.utils import vecmath as vm
+
+
+def flat(c):
+    return sp.constant_spectrum(c)
+
+
+def lum(img):
+    return img @ np.array([0.2126, 0.7152, 0.0722])
+
+
+def make_scene(ss=0.3, depth=3, spp=8):
+    med = homogeneous_box(flat(0.0), flat(ss), lo=(0, 0, 0), hi=(1, 1, 1))
+    cam = PerspectiveCamera(
+        c2w=vm.look_at((0.5, 0.5, -3.0), (0.5, 0.5, 0.5), (0, 1, 0)),
+        fov_deg=30.0, width=8, height=8,
+    )
+    return Scene(
+        camera=cam, medium=med,
+        lights=[lm.DistantLight(direction=np.array([0.0, -1.0, 0.0]),
+                                spectrum=flat(5.0), scene_radius=10.0)],
+        max_depth=depth, filter=BoxFilter(), spp=spp, scene_radius=10.0,
+    )
+
+
+def test_bdpt_runs_and_decomposes():
+    scene = make_scene()
+    img, stats, strat = bdpt.render_bdpt(scene, max_depth=3, spp=4)
+    assert np.isfinite(img).all()
+    # strategies present: unweighted + weighted pairs for (s>=1, t>=2)
+    keys = [k for k in strat if k[0] != "w"]
+    assert (1, 2) in keys
+    assert all(("w",) + k in strat for k in keys)
+    # weighted never exceeds unweighted (MIS weight <= 1)
+    for k in keys:
+        w = strat[("w",) + k]
+        u = strat[k]
+        assert np.all(w <= u + 1e-5)
+
+
+def test_bdpt_matches_forward_thin_medium():
+    """Optically thin: the (1,2) strategy carries nearly all energy and the
+    total must match the forward VolPath estimate."""
+    from acceleratedvolrenderer_tpu.parallel import render as render_mod
+
+    scene = make_scene(ss=0.05, depth=2, spp=64)
+    img_b, _, _ = bdpt.render_bdpt(scene, max_depth=2, spp=64)
+    img_f, _ = render_mod.render(scene)
+    # scatter events are rare in a thin medium: compare full-image means
+    cb = lum(img_b).mean()
+    cf = lum(img_f).mean()
+    assert cb > 0 and cf > 0
+    assert abs(cb - cf) / cf < 0.25, (cb, cf)
+
+
+def test_write_strategy_films(tmp_path):
+    scene = make_scene()
+    _, _, strat = bdpt.render_bdpt(scene, max_depth=2, spp=2)
+    bdpt.write_strategy_films(strat, str(tmp_path), depth=2)
+    import os
+
+    w = os.listdir(tmp_path / "weights")
+    u = os.listdir(tmp_path / "no_weights_L")
+    assert any(f.startswith("bdpt_d02_s01_t02") for f in w)
+    assert len(w) == len(u) and len(w) > 0
