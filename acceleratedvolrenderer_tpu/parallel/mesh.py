@@ -82,10 +82,11 @@ def make_sharded_wave_renderer(scene, mesh: Mesh, axis_name: str = "rays"):
 
     def wave_local(film: Film, density, majorant, sample_idx, pix, pixidx):
         n = pix.shape[0]
-        rng = dda.seed_stream(pixidx, jnp.full((n,), sample_idx, jnp.uint32),
-                              salt=scene.seed)
-        rng, ua = dda.pcg_uniform(rng)
-        rng, ub = dda.pcg_uniform(rng)
+        from ..models import samplers as samplers_mod
+
+        sidx = jnp.full((n,), sample_idx, jnp.uint32)
+        ua, ub, rng = samplers_mod.film_sample(
+            scene.sampler, pixidx, sidx, scene.spp, seed=scene.seed)
         off = scene.filter.sample_offset(jnp.stack([ua, ub], -1)) + 0.5
         rng, ul = dda.pcg_uniform(rng)
         swl = sp.sample_wavelengths_visible(ul)

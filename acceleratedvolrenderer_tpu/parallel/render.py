@@ -70,11 +70,12 @@ def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
     @partial(jax.jit, donate_argnums=(0,))
     def render_chunk(film: Film, density, majorant, sample_idx, pix, pixidx):
         N = pix.shape[0]
-        rng = dda.seed_stream(pixidx, jnp.full((N,), sample_idx, jnp.uint32),
-                              salt=scene.seed)
+        from ..models import samplers as samplers_mod
+
+        sidx = jnp.full((N,), sample_idx, jnp.uint32)
+        ua, ub, rng = samplers_mod.film_sample(
+            scene.sampler, pixidx, sidx, scene.spp, seed=scene.seed)
         # camera sample: filter-importance-sampled film offset
-        rng, ua = dda.pcg_uniform(rng)
-        rng, ub = dda.pcg_uniform(rng)
         off = filt.sample_offset(jnp.stack([ua, ub], -1)) + 0.5
         # wavelengths
         rng, ul = dda.pcg_uniform(rng)
@@ -241,3 +242,40 @@ def render_graph(scene, graph, spp=None):
     dt = time.time() - t0
     img = np.asarray(film.to_image())
     return img, {"render_time": dt, "spp": spp, "rays_per_sec": H * W * spp / dt}
+
+
+def render_with_aovs(scene, spp=None):
+    """Render + auxiliary outputs (GBufferFilm capability, film.h:319):
+    per-pixel sample variance (the reference's GBuffer variance channels)
+    estimated Welford-style over per-wave images, and the mean image.
+
+    Returns (img, {"variance": (H, W, 3), "relative_variance": ...}, stats).
+    """
+    spp = spp if spp is not None else scene.spp
+    H, W = scene.height, scene.width
+    render_wave, density, majorant = make_wave_renderer(scene)
+    mean = np.zeros((H, W, 3), np.float64)
+    m2 = np.zeros((H, W, 3), np.float64)
+    t0 = time.time()
+    prev = np.zeros((H, W, 3), np.float32)
+    film = Film.create(H, W)
+    prev_w = np.zeros((H, W), np.float32)
+    for s in range(spp):
+        film = render_wave(film, density, majorant, jnp.uint32(s))
+        cur_sum = np.asarray(film.rgb_sum)
+        cur_w = np.asarray(film.weight_sum)
+        dw = np.maximum(cur_w - prev_w, 1e-12)[..., None]
+        wave_img = (cur_sum - prev) / dw
+        prev = cur_sum
+        prev_w = cur_w
+        delta = wave_img - mean
+        mean += delta / (s + 1)
+        m2 += delta * (wave_img - mean)
+    dt = time.time() - t0
+    img = np.asarray(film.to_image())
+    var = (m2 / max(spp - 1, 1) / spp).astype(np.float32)  # variance of the mean
+    aovs = {
+        "variance": var,
+        "relative_variance": var / (img.astype(np.float64) ** 2 + 1e-4),
+    }
+    return img, aovs, {"render_time": dt, "spp": spp}

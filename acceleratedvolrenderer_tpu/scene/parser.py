@@ -165,6 +165,7 @@ class PbrtParser:
         self.integrator = "volpath"
         self.max_depth = 5
         self.spp = 16
+        self.sampler = "independent"
         self.world = False
         self.camera_medium: Optional[str] = None
         self.shapes = []
@@ -285,10 +286,16 @@ class PbrtParser:
         return p
 
     def _h_Sampler(self, t, p):
-        _kind = t[p][1:-1]
+        kind = t[p][1:-1]
         params, p = _parse_params(t, p + 1)
         if "pixelsamples" in params:
             self.spp = int(params["pixelsamples"][1][0])
+        # map pbrt sampler names onto the three film-jitter strategies
+        self.sampler = {
+            "stratified": "stratified",
+            "sobol": "sobol", "paddedsobol": "sobol", "zsobol": "sobol",
+            "halton": "sobol", "pmj02bn": "sobol",
+        }.get(kind, "independent")
         return p
 
     def _h_Integrator(self, t, p):
@@ -532,6 +539,7 @@ class PbrtParser:
         return Scene(
             camera=camera, medium=medium, lights=self.lights,
             max_depth=self.max_depth, filter=self.filter, spp=self.spp,
+            sampler=self.sampler,
         )
 
 

@@ -28,6 +28,7 @@ class Scene:
     # sampling
     spp: int = 16
     seed: int = 0
+    sampler: str = "independent"   # independent | stratified | sobol
     max_march_steps: int = 100000
     # surfaces (round-1: optional simple primitive list, models.shapes)
     primitives: List = field(default_factory=list)

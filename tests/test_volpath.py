@@ -183,3 +183,21 @@ def test_rgb_grid_medium_renders():
     hot = img.reshape(-1, 3)[img.sum(-1).reshape(-1) > 0.05]
     assert hot.shape[0] > 0
     assert hot[:, 0].mean() > hot[:, 1].mean() > hot[:, 2].mean()
+
+
+def test_render_with_aovs_variance():
+    """Variance AOV: a higher-variance configuration reports higher
+    variance."""
+    med = homogeneous_box(flat(0.0), flat(1.0), lo=(0, 0, 0), hi=(1, 1, 1))
+    scene = Scene(
+        camera=make_camera(8), medium=med,
+        lights=[lm.UniformInfiniteLight(spectrum=flat(1.0))],
+        max_depth=10, filter=BoxFilter(), spp=16,
+    )
+    img, aovs, _ = render_mod.render_with_aovs(scene)
+    assert aovs["variance"].shape == img.shape
+    assert np.isfinite(aovs["variance"]).all()
+    assert aovs["variance"].mean() > 0
+    # the furnace interior pixels (multi-scatter) are noisier than the
+    # background (constant env = zero variance)
+    assert aovs["variance"][3:5, 3:5].mean() > aovs["variance"][0, 0].mean()
