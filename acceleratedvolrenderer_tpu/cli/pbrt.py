@@ -23,7 +23,11 @@ def main(argv=None):
     ap.add_argument("--spp", type=int, default=None, help="samples per pixel")
     ap.add_argument("--maxdepth", type=int, default=None)
     ap.add_argument("--integrator", default=None,
-                    help="volpath (default) | simplevolpath | graph")
+                    help="volpath (default) | simplevolpath | graph | path | "
+                         "simplepath | randomwalk | ao | lightpath | mlt | bdpt")
+    ap.add_argument("--lightsampler", default=None, help="uniform | power")
+    ap.add_argument("--regularize", action="store_true",
+                    help="widen near-specular BSDFs after the first bounce")
     ap.add_argument("--graph-data", default=None,
                     help="precomputed graph file (.txt or .npz) for --integrator graph")
     ap.add_argument("--seed", type=int, default=0)
@@ -73,6 +77,10 @@ def main(argv=None):
     if args.maxdepth is not None:
         scene.max_depth = args.maxdepth
     scene.seed = args.seed
+    if args.lightsampler:
+        scene.light_sampler = args.lightsampler
+    if args.regularize:
+        scene.regularize = True
 
     from ..parallel import render as render_mod
 
@@ -85,7 +93,28 @@ def main(argv=None):
         graph = (Graph.read_npz(args.graph_data) if args.graph_data.endswith(".npz")
                  else Graph.read_text(args.graph_data))
         img, stats = render_mod.render_graph(scene, graph)
+    elif args.integrator == "lightpath":
+        img, stats = render_mod.render_lightpath(scene)
+        stats.setdefault("rays_per_sec",
+                         stats["n_paths"] / max(stats["render_time"], 1e-9))
+    elif args.integrator == "bdpt":
+        from ..models.integrators import bdpt as bdpt_mod
+
+        img, stats, _ = bdpt_mod.render_bdpt(
+            scene, max_depth=scene.max_depth, spp=scene.spp,
+            keep_strategies=False)
+        stats.setdefault("spp", scene.spp)
+        stats.setdefault("rays_per_sec", 0.0)
+    elif args.integrator == "mlt":
+        from ..models.integrators import mlt as mlt_mod
+
+        img, stats = mlt_mod.render_mlt(scene, seed=args.seed)
+        stats.setdefault("spp", scene.spp)
+        stats.setdefault("rays_per_sec",
+                         stats["mutations"] / max(stats["render_time"], 1e-9))
     else:
+        if args.integrator is not None:
+            scene.integrator = args.integrator
         img, stats = render_mod.render(scene)
 
     mse_val = None

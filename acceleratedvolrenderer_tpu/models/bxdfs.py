@@ -1,0 +1,397 @@
+"""BxDFs — surface scattering lobes, batched over rays in local frames.
+
+Reference: src/pbrt/bxdfs.h (DiffuseBxDF :30, DiffuseTransmissionBxDF,
+DielectricBxDF, ThinDielectricBxDF, ConductorBxDF; Trowbridge-Reitz
+distribution in util/scattering.h) — reimplemented as branch-free batched
+closed forms.  There is no per-ray virtual dispatch: every lobe family is a
+pure function over (N,)-batched local directions (shading frame, +z = n),
+and material dispatch happens by masked select over a small static set of
+material types (models.materials.MATERIAL_*).
+
+Conventions (pbrt's): wo, wi point away from the surface, local frame has
+the normal at +z; cos_theta(w) = w.z.  Spectral values carry a trailing
+LANES axis.  All sampling runs on detached uniforms so the lobes are safe
+inside the differentiable integrators.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.math import safe_sqrt
+
+INV_PI = 1.0 / jnp.pi
+
+
+def cos_theta(w):
+    return w[..., 2]
+
+
+def abs_cos_theta(w):
+    return jnp.abs(w[..., 2])
+
+
+def same_hemisphere(wa, wb):
+    return wa[..., 2] * wb[..., 2] > 0
+
+
+def reflect(wo, n):
+    return -wo + 2.0 * jnp.sum(wo * n, -1, keepdims=True) * n
+
+
+def refract(wi, n, eta):
+    """Snell refraction of wi about n (n on wi's side). Returns (ok, wt,
+    etap) with eta relative index of the transmission side."""
+    cos_i = jnp.sum(wi * n, -1)
+    # flip to wi's side
+    flip = cos_i < 0
+    cos_i = jnp.abs(cos_i)
+    n = jnp.where(flip[..., None], -n, n)
+    eta_p = jnp.where(flip, 1.0 / eta, eta)
+    sin2_i = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    sin2_t = sin2_i / (eta_p * eta_p)
+    tir = sin2_t >= 1.0
+    cos_t = safe_sqrt(1.0 - sin2_t)
+    wt = -wi / eta_p[..., None] + (cos_i / eta_p - cos_t)[..., None] * n
+    return ~tir, wt, eta_p
+
+
+def fresnel_dielectric(cos_i, eta):
+    """Unpolarized Fresnel reflectance, real eta (pbrt FrDielectric)."""
+    cos_i = jnp.clip(cos_i, -1.0, 1.0)
+    flip = cos_i < 0
+    cos_i = jnp.abs(cos_i)
+    eta = jnp.where(flip, 1.0 / eta, eta)
+    sin2_i = 1.0 - cos_i * cos_i
+    sin2_t = sin2_i / (eta * eta)
+    tir = sin2_t >= 1.0
+    cos_t = safe_sqrt(1.0 - sin2_t)
+    r_par = (eta * cos_i - cos_t) / jnp.maximum(eta * cos_i + cos_t, 1e-12)
+    r_per = (cos_i - eta * cos_t) / jnp.maximum(cos_i + eta * cos_t, 1e-12)
+    F = 0.5 * (r_par * r_par + r_per * r_per)
+    return jnp.where(tir, 1.0, F)
+
+
+def fresnel_conductor(cos_i, eta, k):
+    """Unpolarized conductor Fresnel with complex IOR eta - i k (exact,
+    complex arithmetic elementwise; eta/k may be spectral)."""
+    cos_i = jnp.clip(jnp.abs(cos_i), 0.0, 1.0)
+    eta_c = jax.lax.complex(eta, -k)
+    cos_i_c = jax.lax.complex(cos_i, jnp.zeros_like(cos_i))
+    sin2 = jax.lax.complex(1.0 - cos_i * cos_i, jnp.zeros_like(cos_i))
+    sin2_t = sin2 / (eta_c * eta_c)
+    cos_t = jnp.sqrt(1.0 - sin2_t)
+    r_par = (eta_c * cos_i_c - cos_t) / (eta_c * cos_i_c + cos_t)
+    r_per = (cos_i_c - eta_c * cos_t) / (cos_i_c + eta_c * cos_t)
+    return 0.5 * (jnp.abs(r_par) ** 2 + jnp.abs(r_per) ** 2)
+
+
+# --------------------------------------------------------------------------
+# Trowbridge-Reitz (GGX) microfacet distribution, isotropic
+# --------------------------------------------------------------------------
+
+def _tr_d(wm, alpha):
+    """Normal distribution D(wm), upper hemisphere."""
+    c2 = jnp.maximum(wm[..., 2] * wm[..., 2], 1e-12)
+    t2 = (1.0 - c2) / c2
+    a2 = alpha * alpha
+    denom = jnp.pi * a2 * c2 * c2 * (1.0 + t2 / a2) ** 2
+    return jnp.where(wm[..., 2] > 0, 1.0 / jnp.maximum(denom, 1e-24), 0.0)
+
+
+def tr_lambda(w, alpha):
+    c2 = jnp.maximum(w[..., 2] * w[..., 2], 1e-12)
+    t2 = (1.0 - c2) / c2
+    return 0.5 * (safe_sqrt(1.0 + alpha * alpha * t2) - 1.0)
+
+
+def tr_g1(w, alpha):
+    return 1.0 / (1.0 + tr_lambda(w, alpha))
+
+
+def tr_g(wo, wi, alpha):
+    return 1.0 / (1.0 + tr_lambda(wo, alpha) + tr_lambda(wi, alpha))
+
+
+def tr_d_visible(w, wm, alpha):
+    """Visible-normal density D_w(wm) = G1(w) D(wm) |w.wm| / |cos w|."""
+    return (tr_g1(w, alpha) / jnp.maximum(abs_cos_theta(w), 1e-7)
+            * _tr_d(wm, alpha) * jnp.abs(jnp.sum(w * wm, -1)))
+
+
+def tr_sample_wm(w, u2, alpha):
+    """Sample a visible microfacet normal (Heitz 2018 VNDF, pbrt4
+    TrowbridgeReitzDistribution::Sample_wm)."""
+    # stretch to hemisphere configuration
+    wh = jnp.stack([alpha * w[..., 0], alpha * w[..., 1], w[..., 2]], -1)
+    wh = wh * jnp.sign(wh[..., 2:3] + 1e-30)
+    wh = wh / jnp.maximum(jnp.linalg.norm(wh, axis=-1, keepdims=True), 1e-12)
+    # orthonormal basis around wh
+    up = jnp.where((jnp.abs(wh[..., 2]) < 0.999)[..., None],
+                   jnp.asarray([0.0, 0.0, 1.0]), jnp.asarray([1.0, 0.0, 0.0]))
+    t1 = jnp.cross(up, wh)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-12)
+    t2 = jnp.cross(wh, t1)
+    # uniform disk (polar), warped
+    r = safe_sqrt(u2[..., 0])
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    px = r * jnp.cos(phi)
+    py = r * jnp.sin(phi)
+    h = safe_sqrt(1.0 - px * px)
+    s = 0.5 * (1.0 + wh[..., 2])
+    py = (1.0 - s) * h + s * py
+    pz = safe_sqrt(jnp.maximum(0.0, 1.0 - px * px - py * py))
+    nh = (px[..., None] * t1 + py[..., None] * t2 + pz[..., None] * wh)
+    # unstretch
+    wm = jnp.stack([alpha * nh[..., 0], alpha * nh[..., 1],
+                    jnp.maximum(nh[..., 2], 1e-6)], -1)
+    return wm / jnp.maximum(jnp.linalg.norm(wm, axis=-1, keepdims=True), 1e-12)
+
+
+def tr_pdf(wo, wm, alpha):
+    return tr_d_visible(wo, wm, alpha)
+
+
+def tr_effectively_smooth(alpha):
+    return alpha < 1e-3
+
+
+# --------------------------------------------------------------------------
+# Lobe closed forms.  Each returns spectra (N, LANES) / pdfs (N,).
+# --------------------------------------------------------------------------
+
+class BSDFSample(NamedTuple):
+    wi: jnp.ndarray         # (N, 3) local
+    f: jnp.ndarray          # (N, LANES)
+    pdf: jnp.ndarray        # (N,)
+    specular: jnp.ndarray   # (N,) bool — delta lobe (no MIS vs lights)
+    eta_scale: jnp.ndarray  # (N,) radiance scaling (transmission eta^2)
+    transmitted: jnp.ndarray  # (N,) bool — wi crosses the surface
+
+
+def diffuse_f(wo, wi, albedo):
+    f = albedo * INV_PI
+    return jnp.where(same_hemisphere(wo, wi)[..., None], f, 0.0)
+
+
+def diffuse_pdf(wo, wi):
+    return jnp.where(same_hemisphere(wo, wi),
+                     abs_cos_theta(wi) * INV_PI, 0.0)
+
+
+def diffuse_sample(wo, u2, albedo):
+    from ..ops import warps
+
+    local = warps.sample_cosine_hemisphere(u2)
+    wi = jnp.where((wo[..., 2:3] < 0), local * jnp.asarray([1.0, 1.0, -1.0]),
+                   local)
+    pdf = abs_cos_theta(wi) * INV_PI
+    zeros = jnp.zeros(wo.shape[:-1], bool)
+    return BSDFSample(wi, albedo * INV_PI, pdf, zeros,
+                      jnp.ones(wo.shape[:-1]), zeros)
+
+
+def diffuse_transmission_f(wo, wi, refl, trans):
+    same = same_hemisphere(wo, wi)
+    return jnp.where(same[..., None], refl * INV_PI, trans * INV_PI)
+
+
+def diffuse_transmission_pdf(wo, wi, pr, pt):
+    same = same_hemisphere(wo, wi)
+    tot = jnp.maximum(pr + pt, 1e-12)
+    return (abs_cos_theta(wi) * INV_PI
+            * jnp.where(same, pr / tot, pt / tot))
+
+
+def diffuse_transmission_sample(wo, u_lobe, u2, refl, trans):
+    from ..ops import warps
+
+    pr = jnp.max(refl, -1)
+    pt = jnp.max(trans, -1)
+    tot = jnp.maximum(pr + pt, 1e-12)
+    go_r = u_lobe < pr / tot
+    local = warps.sample_cosine_hemisphere(u2)
+    # reflection: same side as wo; transmission: opposite
+    sgn_o = jnp.sign(wo[..., 2:3] + 1e-30)
+    wi = jnp.where(go_r[..., None], local * jnp.concatenate(
+        [jnp.ones_like(sgn_o), jnp.ones_like(sgn_o), sgn_o], -1),
+        local * jnp.concatenate(
+        [jnp.ones_like(sgn_o), jnp.ones_like(sgn_o), -sgn_o], -1))
+    f = jnp.where(go_r[..., None], refl * INV_PI, trans * INV_PI)
+    pdf = (abs_cos_theta(wi) * INV_PI
+           * jnp.where(go_r, pr / tot, pt / tot))
+    zeros = jnp.zeros(wo.shape[:-1], bool)
+    return BSDFSample(wi, f, pdf, zeros, jnp.ones(wo.shape[:-1]), ~go_r)
+
+
+def conductor_f(wo, wi, eta, k, alpha):
+    """Rough conductor (torrance-sparrow); 0 for smooth (delta)."""
+    cos_o = jnp.maximum(abs_cos_theta(wo), 1e-7)
+    cos_i = jnp.maximum(abs_cos_theta(wi), 1e-7)
+    wm = wo + wi
+    wm_len = jnp.linalg.norm(wm, axis=-1, keepdims=True)
+    wm = wm / jnp.maximum(wm_len, 1e-12)
+    F = fresnel_conductor(jnp.sum(wo * wm, -1)[..., None] *
+                          jnp.ones_like(eta), eta, k)
+    val = (_tr_d(wm * jnp.sign(wm[..., 2:3] + 1e-30), alpha)
+           * tr_g(wo, wi, alpha) / (4.0 * cos_o * cos_i))[..., None] * F
+    ok = same_hemisphere(wo, wi) & (wm_len[..., 0] > 1e-9) & ~tr_effectively_smooth(alpha)
+    return jnp.where(ok[..., None], val, 0.0)
+
+
+def conductor_pdf(wo, wi, alpha):
+    wm = wo + wi
+    wm_len = jnp.linalg.norm(wm, axis=-1, keepdims=True)
+    wm = wm / jnp.maximum(wm_len, 1e-12)
+    wm = wm * jnp.sign(wm[..., 2:3] + 1e-30)
+    pdf = tr_pdf(wo * jnp.sign(wo[..., 2:3] + 1e-30),
+                 wm, alpha) / jnp.maximum(
+        4.0 * jnp.abs(jnp.sum(wo * wm, -1)), 1e-9)
+    ok = same_hemisphere(wo, wi) & (wm_len[..., 0] > 1e-9) & ~tr_effectively_smooth(alpha)
+    return jnp.where(ok, pdf, 0.0)
+
+
+def conductor_sample(wo, u2, eta, k, alpha):
+    smooth = tr_effectively_smooth(alpha)
+    # smooth: perfect mirror
+    wi_s = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+    cos_s = jnp.maximum(abs_cos_theta(wi_s), 1e-7)
+    F_s = fresnel_conductor(cos_s[..., None] * jnp.ones_like(eta), eta, k)
+    f_smooth = F_s / cos_s[..., None]
+    # rough: VNDF
+    sgn = jnp.sign(wo[..., 2:3] + 1e-30)
+    wo_u = wo * jnp.concatenate([jnp.ones_like(sgn)] * 2 + [sgn], -1)
+    wm = tr_sample_wm(wo_u, u2, alpha)
+    wm_w = wm * jnp.concatenate([jnp.ones_like(sgn)] * 2 + [sgn], -1)
+    wi_r = reflect(wo, wm_w)
+    f_rough = conductor_f(wo, wi_r, eta, k, jnp.maximum(alpha, 2e-3))
+    pdf_rough = conductor_pdf(wo, wi_r, jnp.maximum(alpha, 2e-3))
+    ok_r = same_hemisphere(wo, wi_r)
+
+    wi = jnp.where(smooth[..., None], wi_s, wi_r)
+    f = jnp.where(smooth[..., None], f_smooth,
+                  jnp.where(ok_r[..., None], f_rough, 0.0))
+    pdf = jnp.where(smooth, 1.0, jnp.where(ok_r, pdf_rough, 0.0))
+    zeros = jnp.zeros(wo.shape[:-1], bool)
+    return BSDFSample(wi, f, pdf, jnp.broadcast_to(smooth, zeros.shape),
+                      jnp.ones(wo.shape[:-1]), zeros)
+
+
+def dielectric_f(wo, wi, eta, alpha):
+    """Rough dielectric BTDF+BRDF (pbrt DielectricBxDF::f); 0 when smooth."""
+    cos_o = cos_theta(wo)
+    cos_i = cos_theta(wi)
+    reflecting = cos_o * cos_i > 0
+    etap = jnp.where(reflecting, 1.0, jnp.where(cos_o > 0, eta, 1.0 / eta))
+    wm = wi * etap[..., None] + wo
+    wm_len = jnp.linalg.norm(wm, axis=-1)
+    wm_n = wm / jnp.maximum(wm_len[..., None], 1e-12)
+    wm_n = wm_n * jnp.sign(wm_n[..., 2:3] + 1e-30)
+    # discard backfacing microfacets
+    ok = ((jnp.sum(wm_n * wi, -1) * cos_i >= 0)
+          & (jnp.sum(wm_n * wo, -1) * cos_o >= 0)
+          & (wm_len > 1e-9) & (jnp.abs(cos_o) > 1e-7) & (jnp.abs(cos_i) > 1e-7)
+          & ~tr_effectively_smooth(alpha))
+    F = fresnel_dielectric(jnp.sum(wo * wm_n, -1), eta)
+    D = _tr_d(wm_n, alpha)
+    G = tr_g(wo, wi, alpha)
+    f_refl = D * F * G / jnp.maximum(
+        jnp.abs(4.0 * cos_i * cos_o), 1e-12)
+    denom_t = (jnp.sum(wi * wm_n, -1) + jnp.sum(wo * wm_n, -1) / etap) ** 2
+    f_trans = (D * (1.0 - F) * G
+               * jnp.abs(jnp.sum(wi * wm_n, -1) * jnp.sum(wo * wm_n, -1))
+               / jnp.maximum(jnp.abs(cos_i * cos_o) * denom_t, 1e-12)
+               / (etap * etap))
+    val = jnp.where(reflecting, f_refl, f_trans)
+    return jnp.where(ok, val, 0.0)[..., None]
+
+
+def dielectric_pdf(wo, wi, eta, alpha):
+    cos_o = cos_theta(wo)
+    cos_i = cos_theta(wi)
+    reflecting = cos_o * cos_i > 0
+    etap = jnp.where(reflecting, 1.0, jnp.where(cos_o > 0, eta, 1.0 / eta))
+    wm = wi * etap[..., None] + wo
+    wm_len = jnp.linalg.norm(wm, axis=-1)
+    wm_n = wm / jnp.maximum(wm_len[..., None], 1e-12)
+    wm_n = wm_n * jnp.sign(wm_n[..., 2:3] + 1e-30)
+    ok = ((jnp.sum(wm_n * wi, -1) * cos_i >= 0)
+          & (jnp.sum(wm_n * wo, -1) * cos_o >= 0)
+          & (wm_len > 1e-9) & ~tr_effectively_smooth(alpha))
+    F = fresnel_dielectric(jnp.sum(wo * wm_n, -1), eta)
+    pr = F
+    pt = 1.0 - F
+    tot = jnp.maximum(pr + pt, 1e-12)
+    wo_u = wo * jnp.sign(wo[..., 2:3] + 1e-30)
+    dwm = tr_pdf(wo_u, wm_n, alpha)
+    pdf_refl = dwm / jnp.maximum(
+        4.0 * jnp.abs(jnp.sum(wo * wm_n, -1)), 1e-12) * pr / tot
+    denom_t = (jnp.sum(wi * wm_n, -1) + jnp.sum(wo * wm_n, -1) / etap) ** 2
+    dwm_dwi = jnp.abs(jnp.sum(wi * wm_n, -1)) / jnp.maximum(denom_t, 1e-12)
+    pdf_trans = dwm * dwm_dwi * pt / tot
+    return jnp.where(ok, jnp.where(reflecting, pdf_refl, pdf_trans), 0.0)
+
+
+def dielectric_sample(wo, u_lobe, u2, eta, alpha):
+    smooth = tr_effectively_smooth(alpha)
+    n_loc = jnp.zeros_like(wo).at[..., 2].set(1.0)
+
+    # ---- smooth branch: delta reflection/transmission by Fresnel ----
+    F_s = fresnel_dielectric(cos_theta(wo), eta)
+    go_r_s = u_lobe < F_s
+    wi_refl = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+    ok_t, wi_trans, etap_s = refract(wo, n_loc, eta)
+    wi_s = jnp.where(go_r_s[..., None], wi_refl, wi_trans)
+    cos_ws = jnp.maximum(abs_cos_theta(wi_s), 1e-7)
+    f_s = jnp.where(go_r_s, F_s / cos_ws,
+                    (1.0 - F_s) / cos_ws / (etap_s * etap_s))
+    pdf_s = jnp.where(go_r_s, F_s, 1.0 - F_s)
+    valid_s = go_r_s | ok_t
+    eta_sc_s = jnp.where(go_r_s, 1.0, etap_s * etap_s)
+
+    # ---- rough branch: VNDF microfacet ----
+    sgn = jnp.sign(wo[..., 2:3] + 1e-30)
+    wo_u = wo * jnp.concatenate([jnp.ones_like(sgn)] * 2 + [sgn], -1)
+    wm = tr_sample_wm(wo_u, u2, jnp.maximum(alpha, 2e-3))
+    wm_w = wm * jnp.concatenate([jnp.ones_like(sgn)] * 2 + [sgn], -1)
+    F_r = fresnel_dielectric(jnp.sum(wo * wm_w, -1), eta)
+    go_r_r = u_lobe < F_r
+    wi_rr = reflect(wo, wm_w)
+    ok_rt, wi_rt, etap_r = refract(wo, wm_w, eta)
+    wi_r = jnp.where(go_r_r[..., None], wi_rr, wi_rt)
+    a_r = jnp.maximum(alpha, 2e-3)
+    f_r = dielectric_f(wo, wi_r, eta, a_r)[..., 0]
+    pdf_r = dielectric_pdf(wo, wi_r, eta, a_r)
+    valid_r = jnp.where(go_r_r, same_hemisphere(wo, wi_rr), ok_rt)
+    eta_sc_r = jnp.where(go_r_r, 1.0, etap_r * etap_r)
+
+    wi = jnp.where(smooth[..., None], wi_s, wi_r)
+    f = jnp.where(smooth, f_s, f_r)[..., None]
+    pdf = jnp.where(smooth, pdf_s, pdf_r)
+    valid = jnp.where(smooth, valid_s, valid_r)
+    eta_sc = jnp.where(smooth, eta_sc_s, eta_sc_r)
+    trans = jnp.where(smooth, ~go_r_s, ~go_r_r)
+    pdf = jnp.where(valid, pdf, 0.0)
+    return BSDFSample(wi, f, pdf, jnp.broadcast_to(smooth, pdf.shape),
+                      eta_sc, trans)
+
+
+def thin_dielectric_sample(wo, u_lobe, eta):
+    """Thin slab: specular reflect/pass-through with double-interface
+    Fresnel R' = R + TTR/(1-R^2) (pbrt ThinDielectricBxDF)."""
+    F = fresnel_dielectric(jnp.abs(cos_theta(wo)), eta)
+    F = jnp.minimum(F, 1.0)
+    R = F + (1.0 - F) * (1.0 - F) * F / jnp.maximum(1.0 - F * F, 1e-9)
+    T = 1.0 - R
+    go_r = u_lobe < R
+    wi_refl = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+    wi_pass = -wo
+    wi = jnp.where(go_r[..., None], wi_refl, wi_pass)
+    cos_w = jnp.maximum(abs_cos_theta(wi), 1e-7)
+    f = jnp.where(go_r, R / cos_w, T / cos_w)
+    pdf = jnp.where(go_r, R, T)
+    ones = jnp.ones(wo.shape[:-1], bool)
+    return BSDFSample(wi, f[..., None], pdf, ones,
+                      jnp.ones(wo.shape[:-1]), ~go_r)

@@ -55,6 +55,44 @@ class PerspectiveCamera(NamedTuple):
         d_w = normalize(self.c2w.apply_vector(d_cam))
         return o_w, d_w
 
+    def _screen_half_extents(self):
+        tan_half = float(np.tan(np.deg2rad(self.fov_deg) / 2.0))
+        aspect = self.width / self.height
+        if aspect > 1.0:
+            return tan_half * aspect, tan_half
+        return tan_half, tan_half / aspect
+
+    def film_area_z1(self) -> float:
+        """Area of the image window on the z=1 camera plane — the 'A' in
+        the perspective importance We = 1/(A cos^4 theta)
+        (cameras.cpp PerspectiveCamera::We)."""
+        sx, sy = self._screen_half_extents()
+        return float(4.0 * sx * sy)
+
+    def project(self, p_world):
+        """World point -> (raster_xy float, cos_theta vs camera forward,
+        valid-in-frustum).  The t = 1 / light-tracing camera connection
+        (cameras.cpp PerspectiveCamera::SampleWi raster mapping)."""
+        w2c = self.c2w.inverse()
+        pc = w2c.apply_point(p_world)
+        z = pc[..., 2]
+        ok_z = z > 1e-6
+        zs = jnp.where(ok_z, z, 1.0)
+        x_cam = pc[..., 0] / zs
+        y_cam = pc[..., 1] / zs
+        sx, sy = self._screen_half_extents()
+        px = (x_cam / sx + 1.0) * 0.5 * self.width
+        py = (1.0 - y_cam / sy) * 0.5 * self.height
+        inside = (ok_z & (px >= 0) & (px < self.width)
+                  & (py >= 0) & (py < self.height))
+        dist = jnp.linalg.norm(pc, axis=-1)
+        cos_t = jnp.where(dist > 0, z / jnp.maximum(dist, 1e-12), 0.0)
+        return jnp.stack([px, py], -1), cos_t, inside
+
+    @property
+    def position(self):
+        return self.c2w.apply_point(jnp.zeros((3,)))
+
 
 class OrthographicCamera(NamedTuple):
     c2w: Transform

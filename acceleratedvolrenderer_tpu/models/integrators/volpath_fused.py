@@ -146,8 +146,11 @@ def li(
     opaque = tuple(p for p in prims if p.material is not None)
     has_surf = len(opaque) > 0
     if has_surf:
+        from .. import materials as materials_mod
+
         albedos = jnp.stack(
-            [p.material.reflectance(lam) * jnp.ones((N, LANES)) for p in opaque]
+            [materials_mod._eval_spectral(
+                getattr(p.material, "reflectance", 0.5), lam) for p in opaque]
         )  # (M, N, L)
         emissions = jnp.stack(
             [

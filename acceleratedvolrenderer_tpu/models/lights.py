@@ -15,6 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, List, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -140,10 +141,254 @@ class UniformInfiniteLight:
         return self.spectrum(lam) * self.scale
 
 
-def sample_one_light(lights: List, p, u1, u2, lam):
-    """Uniform light sampler (lightsamplers.h UniformLightSampler): pick a
-    light with pmf 1/K, return its sample with pdf already including pmf and
-    per-light delta flag resolved via masked select."""
+@dataclass(frozen=True)
+class DiffuseAreaLight:
+    """Area emitter over a shape (lights.h:415 DiffuseAreaLight): uniform-
+    area sampling converted to solid angle; pdf_li re-intersects the shape."""
+    shape: object                       # models.shapes.* (sample/intersect/area)
+    spectrum: Callable                  # lam -> emitted radiance
+    scale: float = 1.0
+    two_sided: bool = False
+    is_delta = False
+    is_infinite = False
+
+    def sample_li(self, p, u2, lam):
+        pl, nl, pdf_area = self.shape.sample(u2)
+        to = pl - p
+        d2 = jnp.maximum(vm.length_squared(to), 1e-12)
+        dist = jnp.sqrt(d2)
+        wi = to / dist[..., None]
+        cos_l = vm.dot(nl, -wi)
+        front = cos_l > 0
+        emit = front | self.two_sided
+        pdf_sa = pdf_area * d2 / jnp.maximum(jnp.abs(cos_l), 1e-9)
+        L = jnp.where(emit[..., None],
+                      jnp.broadcast_to(self.spectrum(lam) * self.scale,
+                                       lam.shape), 0.0)
+        return LightLiSample(L, wi, dist * (1.0 - 1e-3), pdf_sa,
+                             emit & (jnp.abs(cos_l) > 1e-9))
+
+    def pdf_li(self, p, wi):
+        t, n, _ = self.shape.intersect(p, wi, jnp.full(p.shape[0], jnp.inf))
+        hit = jnp.isfinite(t)
+        cos_l = jnp.abs(vm.dot(n, -wi))
+        d2 = t * t
+        pdf = jnp.where(hit, d2 / (jnp.maximum(cos_l, 1e-9) * self.shape.area()),
+                        0.0)
+        return pdf
+
+    def le_escaped(self, d, lam):
+        return jnp.zeros(lam.shape)
+
+    def power_estimate(self) -> float:
+        # phi = L * area * pi * (2 if two_sided)
+        sides = 2.0 if self.two_sided else 1.0
+        return float(self.scale * self.shape.area() * np.pi * sides)
+
+
+class ImageInfiniteLight:
+    """Equal-importance environment map (lights.h:552 ImageInfiniteLight):
+    equirectangular image, luminance-importance 2D inverse-CDF sampling."""
+    is_delta = False
+    is_infinite = True
+
+    def __init__(self, image: np.ndarray, scale: float = 1.0,
+                 scene_radius: float = 1e4, rotation=None):
+        img = np.asarray(image, np.float32)
+        assert img.ndim == 3 and img.shape[-1] == 3
+        self.image = jnp.asarray(img)
+        self.scale = float(scale)
+        self.scene_radius = float(scene_radius)
+        H, W, _ = img.shape
+        lum = 0.2126 * img[..., 0] + 0.7152 * img[..., 1] + 0.0722 * img[..., 2]
+        # sin-theta weight for equirect solid-angle measure
+        theta = (np.arange(H) + 0.5) / H * np.pi
+        w = lum * np.sin(theta)[:, None] + 1e-12
+        self._pdf_img = jnp.asarray(w / w.sum() * (H * W), np.float32)  # density in uv
+        marg = w.sum(1)
+        self._cdf_rows = jnp.asarray(np.cumsum(marg) / marg.sum(), np.float32)
+        cond = np.cumsum(w, axis=1)
+        cond = cond / cond[:, -1:]
+        self._cdf_cols = jnp.asarray(cond, np.float32)
+        self._H, self._W = H, W
+
+    def _dir_to_uv(self, d):
+        theta = jnp.arccos(jnp.clip(d[..., 2], -1.0, 1.0))
+        phi = jnp.arctan2(d[..., 1], d[..., 0]) % (2 * jnp.pi)
+        return jnp.stack([phi / (2 * jnp.pi), theta / jnp.pi], -1)
+
+    def _uv_to_dir(self, uv):
+        phi = uv[..., 0] * 2 * jnp.pi
+        theta = uv[..., 1] * jnp.pi
+        st = jnp.sin(theta)
+        return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi),
+                          jnp.cos(theta)], -1)
+
+    def _lookup_rgb(self, uv):
+        x = jnp.clip((uv[..., 0] * self._W).astype(jnp.int32), 0, self._W - 1)
+        y = jnp.clip((uv[..., 1] * self._H).astype(jnp.int32), 0, self._H - 1)
+        return self.image[y, x]
+
+    def _pdf_uv(self, uv):
+        x = jnp.clip((uv[..., 0] * self._W).astype(jnp.int32), 0, self._W - 1)
+        y = jnp.clip((uv[..., 1] * self._H).astype(jnp.int32), 0, self._H - 1)
+        return self._pdf_img[y, x]
+
+    def _le_spectral(self, uv, lam):
+        from ..utils import spectrum as sp
+
+        rgb = self._lookup_rgb(uv)
+        return sp.rgb_to_spectrum_smits_batched(rgb, lam) * self.scale
+
+    def sample_li(self, p, u2, lam):
+        n = p.shape[0]
+        row = jnp.clip(jnp.searchsorted(self._cdf_rows, u2[..., 0]),
+                       0, self._H - 1)
+        cols = self._cdf_cols[row]
+        col = jnp.clip(jax.vmap(jnp.searchsorted)(cols, u2[..., 1]),
+                       0, self._W - 1)
+        uv = jnp.stack([(col + 0.5) / self._W, (row + 0.5) / self._H], -1)
+        wi = self._uv_to_dir(uv)
+        theta = uv[..., 1] * jnp.pi
+        # p(uv) -> p(omega): / (2 pi^2 sin(theta))
+        pdf = self._pdf_uv(uv) / jnp.maximum(
+            2.0 * jnp.pi * jnp.pi * jnp.sin(theta), 1e-9)
+        L = self._le_spectral(uv, lam)
+        dist = jnp.full((n,), 2.0 * self.scene_radius)
+        return LightLiSample(L, wi, dist, pdf, pdf > 0)
+
+    def pdf_li(self, p, wi):
+        uv = self._dir_to_uv(wi)
+        theta = uv[..., 1] * jnp.pi
+        return self._pdf_uv(uv) / jnp.maximum(
+            2.0 * jnp.pi * jnp.pi * jnp.sin(theta), 1e-9)
+
+    def le_escaped(self, d, lam):
+        return self._le_spectral(self._dir_to_uv(d), lam)
+
+    def power_estimate(self) -> float:
+        img = np.asarray(self.image)
+        lum = 0.2126 * img[..., 0] + 0.7152 * img[..., 1] + 0.0722 * img[..., 2]
+        return float(4 * np.pi * np.pi * self.scale * lum.mean())
+
+
+@dataclass(frozen=True)
+class ProjectionLight:
+    """Image-projector point light (lights.h:308): intensity modulated by an
+    image over the projection field of view along `direction`."""
+    position: np.ndarray
+    direction: np.ndarray
+    image: object                        # textures.ImageTexture-like (rgb)
+    spectrum: Callable
+    scale: float = 1.0
+    fov_deg: float = 45.0
+    is_delta = True
+    is_infinite = False
+
+    def _frame(self):
+        z = np.asarray(self.direction, np.float64)
+        z = z / np.linalg.norm(z)
+        up = np.array([0, 1, 0.0]) if abs(z[1]) < 0.9 else np.array([1, 0, 0.0])
+        x = np.cross(up, z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        return (jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+                jnp.asarray(z, jnp.float32))
+
+    def sample_li(self, p, u2, lam):
+        from ..utils import spectrum as sp
+
+        pl = jnp.asarray(self.position, jnp.float32)
+        to = pl - p
+        d2 = jnp.maximum(vm.length_squared(to), 1e-12)
+        dist = jnp.sqrt(d2)
+        wi = to / dist[..., None]
+        bx, by, bz = self._frame()
+        w = -wi  # direction light -> point
+        lz = vm.dot(w, bz)
+        tan_half = np.tan(np.deg2rad(self.fov_deg) / 2)
+        u = vm.dot(w, bx) / jnp.maximum(lz, 1e-9) / tan_half * 0.5 + 0.5
+        v = vm.dot(w, by) / jnp.maximum(lz, 1e-9) / tan_half * 0.5 + 0.5
+        inside = (lz > 0) & (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
+        rgb = self.image.eval(jnp.stack([u, v], -1))
+        mod = sp.rgb_to_spectrum_smits_batched(rgb, lam)
+        L = (self.spectrum(lam) * self.scale) * mod / d2[..., None]
+        L = jnp.where(inside[..., None], L, 0.0)
+        return LightLiSample(L, wi, dist, jnp.ones_like(dist), inside)
+
+    def pdf_li(self, p, wi):
+        return jnp.zeros(p.shape[0])
+
+    def le_escaped(self, d, lam):
+        return jnp.zeros(lam.shape)
+
+    def power_estimate(self) -> float:
+        return float(self.scale)
+
+
+@dataclass(frozen=True)
+class GoniometricLight:
+    """Point light with angular intensity distribution from an equirect
+    image (lights.h:361)."""
+    position: np.ndarray
+    image: object
+    spectrum: Callable
+    scale: float = 1.0
+    is_delta = True
+    is_infinite = False
+
+    def sample_li(self, p, u2, lam):
+        from ..utils import spectrum as sp
+
+        pl = jnp.asarray(self.position, jnp.float32)
+        to = pl - p
+        d2 = jnp.maximum(vm.length_squared(to), 1e-12)
+        dist = jnp.sqrt(d2)
+        wi = to / dist[..., None]
+        w = -wi
+        theta = jnp.arccos(jnp.clip(w[..., 2], -1, 1))
+        phi = jnp.arctan2(w[..., 1], w[..., 0]) % (2 * jnp.pi)
+        uv = jnp.stack([phi / (2 * jnp.pi), theta / jnp.pi], -1)
+        rgb = self.image.eval(uv)
+        if rgb.ndim == uv.ndim:
+            mod = sp.rgb_to_spectrum_smits_batched(rgb, lam)
+        else:
+            mod = rgb[..., None]
+        L = self.spectrum(lam) * self.scale * mod / d2[..., None]
+        return LightLiSample(L, wi, dist, jnp.ones_like(dist),
+                             jnp.ones(dist.shape, bool))
+
+    def pdf_li(self, p, wi):
+        return jnp.zeros(p.shape[0])
+
+    def le_escaped(self, d, lam):
+        return jnp.zeros(lam.shape)
+
+    def power_estimate(self) -> float:
+        return float(4 * np.pi * self.scale)
+
+
+def light_power(lt) -> float:
+    """Scalar power proxy for PowerLightSampler pmfs (lightsamplers.h)."""
+    if hasattr(lt, "power_estimate"):
+        return max(lt.power_estimate(), 1e-9)
+    if isinstance(lt, PointLight):
+        return max(4 * np.pi * lt.scale, 1e-9)
+    if isinstance(lt, SpotLight):
+        cos_end = np.cos(np.deg2rad(lt.cone_angle_deg))
+        return max(2 * np.pi * (1 - cos_end) * lt.scale, 1e-9)
+    if isinstance(lt, DistantLight):
+        return max(np.pi * lt.scene_radius ** 2 * lt.scale, 1e-9)
+    if isinstance(lt, UniformInfiniteLight):
+        return max(4 * np.pi * np.pi * lt.scene_radius ** 2 * lt.scale, 1e-9)
+    return 1.0
+
+
+def sample_one_light(lights: List, p, u1, u2, lam, strategy: str = "uniform"):
+    """Light sampler (lightsamplers.h): pick a light with pmf 1/K
+    ("uniform", UniformLightSampler) or power-proportional ("power",
+    PowerLightSampler), return its sample with pdf already including the pmf
+    and per-light delta flag resolved via masked select."""
     k = len(lights)
     if k == 0:
         n = p.shape[0]
@@ -153,7 +398,15 @@ def sample_one_light(lights: List, p, u1, u2, lam):
                           jnp.zeros((n,), bool)),
             jnp.zeros((n,), bool),
         )
-    idx = jnp.minimum((u1 * k).astype(jnp.int32), k - 1)
+    if strategy == "power":
+        pw = np.asarray([light_power(lt) for lt in lights], np.float64)
+        pmfs = pw / pw.sum()
+        cdf = jnp.asarray(np.cumsum(pmfs), jnp.float32)
+        idx = jnp.clip(jnp.searchsorted(cdf, u1), 0, k - 1)
+        pmf_arr = jnp.asarray(pmfs, jnp.float32)
+    else:
+        idx = jnp.minimum((u1 * k).astype(jnp.int32), k - 1)
+        pmf_arr = jnp.full((k,), 1.0 / k, jnp.float32)
     samples = [lt.sample_li(p, u2, lam) for lt in lights]
     out = samples[0]
     is_delta = jnp.full(p.shape[0], bool(lights[0].is_delta))
@@ -167,8 +420,27 @@ def sample_one_light(lights: List, p, u1, u2, lam):
             jnp.where(sel, samples[i].valid, out.valid),
         )
         is_delta = jnp.where(sel, bool(lights[i].is_delta), is_delta)
-    pmf = 1.0 / k
+    pmf = pmf_arr[idx]
     return LightLiSample(out.L, out.wi, out.dist, out.pdf * pmf, out.valid), is_delta
+
+
+def pdf_one_light(lights: List, p, wi, strategy: str = "uniform"):
+    """Combined pmf-weighted PDF_Li over all non-delta lights for MIS of
+    path-sampled emitter hits (cpu/integrators.cpp MIS weights)."""
+    k = len(lights)
+    n = p.shape[0]
+    if k == 0:
+        return jnp.zeros((n,))
+    if strategy == "power":
+        pw = np.asarray([light_power(lt) for lt in lights], np.float64)
+        pmfs = pw / pw.sum()
+    else:
+        pmfs = np.full((k,), 1.0 / k)
+    pdf = jnp.zeros((n,))
+    for lt, pm in zip(lights, pmfs):
+        if not lt.is_delta:
+            pdf = pdf + lt.pdf_li(p, wi) * float(pm)
+    return pdf
 
 
 def escaped_radiance(lights: List, d, lam):

@@ -1,25 +1,139 @@
 """Materials — surface scattering models.
 
-Reference: src/pbrt/materials.{h,cpp} (14 material types) and bxdfs.h
-(DiffuseBxDF bxdfs.h:30).  Round-1 subset: Lambertian diffuse + emissive
-surfaces (DiffuseAreaLight behavior when hit) — the set the volumetric
-evaluation scenes and furnace tests use; material = None on a primitive
-means a transparent medium interface ("interface" material in pbrt).
+Reference: src/pbrt/materials.{h,cpp} (14 material types) and bxdfs.h.
+Material families implemented (the pbrt names in parens):
+
+  DiffuseMaterial            ("diffuse"; + emission => DiffuseAreaLight-like)
+  ConductorMaterial          ("conductor", smooth & rough GGX)
+  DielectricMaterial         ("dielectric", smooth & rough GGX)
+  ThinDielectricMaterial     ("thindielectric")
+  DiffuseTransmissionMaterial("diffusetransmission")
+
+material = None on a primitive means a transparent medium interface
+("interface" in pbrt).  There is no per-ray virtual dispatch: integrators
+gather per-ray material parameters from stacked per-primitive arrays by
+mat-kind masks (models.integrators.path).  Reflectance/roughness accept
+either a python float/callable-of-lam or a textures.* object evaluated at
+the hit uv.
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Optional
+from typing import Callable, Optional, Union
 
+import jax.numpy as jnp
 import numpy as np
+
+# material kind ids (static dispatch masks)
+KIND_DIFFUSE = 0
+KIND_CONDUCTOR = 1
+KIND_DIELECTRIC = 2
+KIND_THIN_DIELECTRIC = 3
+KIND_DIFFUSE_TRANSMISSION = 4
+
+
+def _eval_spectral(value, lam, uv=None):
+    """reflectance-like parameter -> (N, LANES) spectrum.
+
+    value may be: float; callable lam->spectrum; rgb texture (eval(uv)->
+    (N,3), Smits-converted); float texture ((N,) broadcast over lanes)."""
+    N, L = lam.shape
+    if value is None:
+        return jnp.zeros((N, L), jnp.float32)
+    if isinstance(value, (int, float)):
+        return jnp.full((N, L), jnp.float32(value))
+    if hasattr(value, "eval") and uv is not None:
+        out = value.eval(uv)
+        if out.ndim == lam.ndim and out.shape[-1] == 3:
+            from ..utils import spectrum as sp
+
+            return sp.rgb_to_spectrum_smits_batched(out, lam)
+        return jnp.broadcast_to(out[..., None], (N, L))
+    # callable of lam
+    return jnp.broadcast_to(jnp.asarray(value(lam), jnp.float32), (N, L))
+
+
+def _eval_float(value, uv=None, shape=None):
+    if isinstance(value, (int, float)):
+        return jnp.full(shape, jnp.float32(value))
+    return jnp.broadcast_to(jnp.asarray(value.eval(uv), jnp.float32), shape)
 
 
 @dataclass(frozen=True)
 class DiffuseMaterial:
     """Lambertian: f = reflectance / pi; cosine-importance-sampled."""
-    reflectance: Callable          # lam -> albedo in [0, 1]
+    reflectance: Union[Callable, float, object]  # lam->albedo | texture
     emission: Optional[Callable] = None   # lam -> emitted radiance (area light)
     emission_scale: float = 1.0
+
+    kind = KIND_DIFFUSE
+
+    @property
+    def emissive(self) -> bool:
+        return self.emission is not None
+
+    def albedo_spectrum(self, lam, uv=None):
+        return _eval_spectral(self.reflectance, lam, uv)
+
+
+@dataclass(frozen=True)
+class ConductorMaterial:
+    """Metal with complex IOR (bxdfs.h ConductorBxDF); roughness=0 = mirror."""
+    eta: Union[Callable, float] = 0.2         # lam -> real part
+    k: Union[Callable, float] = 3.0           # lam -> extinction
+    roughness: Union[float, object] = 0.0     # GGX alpha (or texture)
+    emission: Optional[Callable] = None
+    emission_scale: float = 1.0
+
+    kind = KIND_CONDUCTOR
+
+    @property
+    def emissive(self) -> bool:
+        return self.emission is not None
+
+    def eta_spectrum(self, lam, uv=None):
+        return _eval_spectral(self.eta, lam, uv)
+
+    def k_spectrum(self, lam, uv=None):
+        return _eval_spectral(self.k, lam, uv)
+
+
+@dataclass(frozen=True)
+class DielectricMaterial:
+    """Glass (bxdfs.h DielectricBxDF); real scalar eta, GGX roughness."""
+    eta: float = 1.5
+    roughness: Union[float, object] = 0.0
+    emission: Optional[Callable] = None
+    emission_scale: float = 1.0
+
+    kind = KIND_DIELECTRIC
+
+    @property
+    def emissive(self) -> bool:
+        return self.emission is not None
+
+
+@dataclass(frozen=True)
+class ThinDielectricMaterial:
+    eta: float = 1.5
+    emission: Optional[Callable] = None
+    emission_scale: float = 1.0
+
+    kind = KIND_THIN_DIELECTRIC
+
+    @property
+    def emissive(self) -> bool:
+        return self.emission is not None
+
+
+@dataclass(frozen=True)
+class DiffuseTransmissionMaterial:
+    reflectance: Union[Callable, float, object] = 0.25
+    transmittance: Union[Callable, float, object] = 0.25
+    emission: Optional[Callable] = None
+    emission_scale: float = 1.0
+
+    kind = KIND_DIFFUSE_TRANSMISSION
 
     @property
     def emissive(self) -> bool:

@@ -1,28 +1,39 @@
-"""Shapes & primitives — vectorized intersections.
+"""Shapes & primitives — vectorized intersections + area sampling.
 
 Reference: src/pbrt/shapes.{h,cpp} (Sphere shapes.h:107, Disk :426,
-Triangle :855) and cpu/aggregates BVH.  The target volumetric scenes carry a
-handful of bounding primitives, so the TPU-native aggregate is a static
-python list of primitives intersected branch-free over the ray batch with a
-min-reduce — no BVH walk, no pointer chasing (SURVEY.md §2.3 Aggregates
-note).
+Cylinder :596, Triangle :855) and cpu/aggregates BVH.  The TPU-native
+aggregate is a static python list of primitives intersected branch-free over
+the ray batch with a min-reduce — no BVH walk, no pointer chasing (SURVEY.md
+§2.3 Aggregates note).  Triangle meshes intersect all-triangles-per-ray in
+fixed-size chunks under `lax.scan` (bounded memory; the wavefront
+"IntersectClosest over a queue" collapsed to a dense batch op).
+
+Every shape provides:
+  intersect(o, d, t_max) -> (t, n, uv)   batched closest-hit
+  area() -> float                        total surface area
+  sample(u2) -> (p, n, pdf_area)         uniform-area point sampling
+                                         (area lights; graph builder)
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import List, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..utils import vecmath as vm
 from ..utils.math import safe_sqrt
 
+_EPS = 1e-4
+
 
 class Hit(NamedTuple):
     t: jnp.ndarray        # (N,) inf where no hit
     n: jnp.ndarray        # (N, 3) geometric normal
     prim_id: jnp.ndarray  # (N,) int32, -1 where none
+    uv: jnp.ndarray       # (N, 2) surface parameterization
 
 
 @dataclass(frozen=True)
@@ -40,16 +51,32 @@ class Sphere:
         sq = safe_sqrt(disc)
         t0 = -b - sq
         t1 = -b + sq
-        t = jnp.where(t0 > 1e-4, t0, jnp.where(t1 > 1e-4, t1, jnp.inf))
+        t = jnp.where(t0 > _EPS, t0, jnp.where(t1 > _EPS, t1, jnp.inf))
         t = jnp.where((disc >= 0) & (t < t_max), t, jnp.inf)
         p = o + t[..., None] * d
         n = vm.normalize(p - c)
-        return t, n
+        # spherical uv (pbrt: phi/2pi, theta/pi)
+        phi = jnp.arctan2(n[..., 1], n[..., 0])
+        u = (phi / (2 * jnp.pi)) % 1.0
+        v = jnp.arccos(jnp.clip(n[..., 2], -1, 1)) / jnp.pi
+        return t, n, jnp.stack([u, v], -1)
+
+    def area(self) -> float:
+        return float(4.0 * np.pi * self.radius ** 2)
+
+    def sample(self, u2):
+        z = 1.0 - 2.0 * u2[..., 0]
+        r = safe_sqrt(1.0 - z * z)
+        phi = 2.0 * jnp.pi * u2[..., 1]
+        n = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], -1)
+        p = jnp.asarray(self.center, jnp.float32) + self.radius * n
+        pdf = jnp.full(u2.shape[:-1], 1.0 / self.area())
+        return p, n, pdf
 
 
 @dataclass(frozen=True)
 class Quad:
-    """Parallelogram: origin + edges e1, e2."""
+    """Parallelogram: origin + edges e1, e2 (pbrt BilinearPatch, planar)."""
     origin: np.ndarray
     e1: np.ndarray
     e2: np.ndarray
@@ -74,12 +101,148 @@ class Quad:
         u = (a22 * b1 - a12 * b2) / det
         v = (a11 * b2 - a12 * b1) / det
         ok = (
-            (jnp.abs(denom) > 1e-9) & (t > 1e-4) & (t < t_max)
+            (jnp.abs(denom) > 1e-9) & (t > _EPS) & (t < t_max)
             & (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
         )
         t = jnp.where(ok, t, jnp.inf)
         nrm = jnp.broadcast_to(nn, o.shape)
-        return t, nrm
+        return t, nrm, jnp.stack([u, v], -1)
+
+    def area(self) -> float:
+        return float(np.linalg.norm(np.cross(self.e1, self.e2)))
+
+    def sample(self, u2):
+        p0 = jnp.asarray(self.origin, jnp.float32)
+        e1 = jnp.asarray(self.e1, jnp.float32)
+        e2 = jnp.asarray(self.e2, jnp.float32)
+        p = p0 + u2[..., 0:1] * e1 + u2[..., 1:2] * e2
+        n = jnp.cross(e1, e2)
+        n = n / jnp.maximum(jnp.linalg.norm(n), 1e-24)
+        n = jnp.broadcast_to(n, p.shape)
+        pdf = jnp.full(u2.shape[:-1], 1.0 / self.area())
+        return p, n, pdf
+
+
+@dataclass(frozen=True)
+class Disk:
+    """Disk at `center` with unit `normal`, radius (pbrt shapes.h:426)."""
+    center: np.ndarray
+    normal: np.ndarray
+    radius: float
+    inner_radius: float = 0.0
+    material: Optional[object] = None
+
+    def _frame(self):
+        n = np.asarray(self.normal, np.float64)
+        n = n / np.linalg.norm(n)
+        up = np.array([0.0, 0.0, 1.0]) if abs(n[2]) < 0.9 else np.array([1.0, 0.0, 0.0])
+        t1 = np.cross(up, n)
+        t1 /= np.linalg.norm(t1)
+        t2 = np.cross(n, t1)
+        return (jnp.asarray(t1, jnp.float32), jnp.asarray(t2, jnp.float32),
+                jnp.asarray(n, jnp.float32))
+
+    def intersect(self, o, d, t_max):
+        t1, t2, nn = self._frame()
+        c = jnp.asarray(self.center, jnp.float32)
+        denom = vm.dot(d, nn)
+        t = vm.dot(c - o, nn) / jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+        p = o + t[..., None] * d
+        rel = p - c
+        r2 = vm.length_squared(rel)
+        ok = ((jnp.abs(denom) > 1e-9) & (t > _EPS) & (t < t_max)
+              & (r2 <= self.radius ** 2) & (r2 >= self.inner_radius ** 2))
+        t = jnp.where(ok, t, jnp.inf)
+        u = vm.dot(rel, t1) / self.radius * 0.5 + 0.5
+        v = vm.dot(rel, t2) / self.radius * 0.5 + 0.5
+        return t, jnp.broadcast_to(nn, o.shape), jnp.stack([u, v], -1)
+
+    def area(self) -> float:
+        return float(np.pi * (self.radius ** 2 - self.inner_radius ** 2))
+
+    def sample(self, u2):
+        t1, t2, nn = self._frame()
+        r = jnp.sqrt(self.inner_radius ** 2
+                     + u2[..., 0] * (self.radius ** 2 - self.inner_radius ** 2))
+        phi = 2.0 * jnp.pi * u2[..., 1]
+        p = (jnp.asarray(self.center, jnp.float32)
+             + r[..., None] * (jnp.cos(phi)[..., None] * t1
+                               + jnp.sin(phi)[..., None] * t2))
+        n = jnp.broadcast_to(nn, p.shape)
+        pdf = jnp.full(u2.shape[:-1], 1.0 / self.area())
+        return p, n, pdf
+
+
+@dataclass(frozen=True)
+class Cylinder:
+    """Open cylinder from p0 to p1 with radius (pbrt shapes.h:596)."""
+    p0: np.ndarray
+    p1: np.ndarray
+    radius: float
+    material: Optional[object] = None
+
+    def _axis(self):
+        a = np.asarray(self.p1, np.float64) - np.asarray(self.p0, np.float64)
+        h = np.linalg.norm(a)
+        return jnp.asarray(a / h, jnp.float32), float(h)
+
+    def intersect(self, o, d, t_max):
+        axis, h = self._axis()
+        pa = jnp.asarray(self.p0, jnp.float32)
+        oc = o - pa
+        d_par = vm.dot(d, axis)
+        oc_par = vm.dot(oc, axis)
+        d_perp = d - d_par[..., None] * axis
+        oc_perp = oc - oc_par[..., None] * axis
+        a = vm.length_squared(d_perp)
+        b = vm.dot(d_perp, oc_perp)
+        c = vm.length_squared(oc_perp) - self.radius ** 2
+        disc = b * b - a * c
+        sq = safe_sqrt(disc)
+        inv_a = 1.0 / jnp.maximum(a, 1e-12)
+        t0 = (-b - sq) * inv_a
+        t1 = (-b + sq) * inv_a
+        z0 = oc_par + t0 * d_par
+        z1 = oc_par + t1 * d_par
+        ok0 = (t0 > _EPS) & (z0 >= 0) & (z0 <= h)
+        ok1 = (t1 > _EPS) & (z1 >= 0) & (z1 <= h)
+        t = jnp.where(ok0, t0, jnp.where(ok1, t1, jnp.inf))
+        t = jnp.where((disc >= 0) & (a > 1e-12) & (t < t_max), t, jnp.inf)
+        p = o + t[..., None] * d
+        z = vm.dot(p - pa, axis)
+        n = p - pa - z[..., None] * axis
+        n = vm.normalize(n)
+        rel = p - pa - z[..., None] * axis
+        phi = jnp.arctan2(vm.dot(rel, _perp2(axis)), vm.dot(rel, _perp1(axis)))
+        uv = jnp.stack([(phi / (2 * jnp.pi)) % 1.0, z / h], -1)
+        return t, n, uv
+
+    def area(self) -> float:
+        _, h = self._axis()
+        return float(2.0 * np.pi * self.radius * h)
+
+    def sample(self, u2):
+        axis, h = self._axis()
+        pa = jnp.asarray(self.p0, jnp.float32)
+        phi = 2.0 * jnp.pi * u2[..., 0]
+        z = u2[..., 1] * h
+        t1 = _perp1(axis)
+        t2 = _perp2(axis)
+        n = jnp.cos(phi)[..., None] * t1 + jnp.sin(phi)[..., None] * t2
+        p = pa + z[..., None] * axis + self.radius * n
+        pdf = jnp.full(u2.shape[:-1], 1.0 / self.area())
+        return p, n, pdf
+
+
+def _perp1(axis):
+    up = jnp.where(jnp.abs(axis[2]) < 0.9,
+                   jnp.asarray([0.0, 0.0, 1.0]), jnp.asarray([1.0, 0.0, 0.0]))
+    t = jnp.cross(up, axis)
+    return t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+
+
+def _perp2(axis):
+    return jnp.cross(axis, _perp1(axis))
 
 
 @dataclass(frozen=True)
@@ -92,7 +255,7 @@ class Box:
         lo = jnp.asarray(self.lo, jnp.float32)
         hi = jnp.asarray(self.hi, jnp.float32)
         hit, t0, t1 = vm.intersect_aabb(o, d, t_max, lo, hi)
-        t = jnp.where(hit & (t0 > 1e-4), t0, jnp.where(hit & (t1 > 1e-4), t1, jnp.inf))
+        t = jnp.where(hit & (t0 > _EPS), t0, jnp.where(hit & (t1 > _EPS), t1, jnp.inf))
         p = o + t[..., None] * d
         # face normal: axis of max |offset from center| scaled to half-extents
         c = (lo + hi) * 0.5
@@ -102,7 +265,166 @@ class Box:
         n = jnp.sign(
             jnp.take_along_axis(rel, ax[..., None], axis=-1)
         ) * jnp.eye(3, dtype=jnp.float32)[ax]
-        return t, n
+        uv = jnp.clip((rel[..., :2] + 1.0) * 0.5, 0.0, 1.0)
+        return t, n, uv
+
+    def area(self) -> float:
+        e = np.asarray(self.hi, np.float64) - np.asarray(self.lo, np.float64)
+        return float(2.0 * (e[0] * e[1] + e[1] * e[2] + e[0] * e[2]))
+
+    def sample(self, u2):
+        # uniform over the 6 faces, weighted by face area
+        lo = np.asarray(self.lo, np.float64)
+        hi = np.asarray(self.hi, np.float64)
+        e = hi - lo
+        areas = np.array([e[1] * e[2], e[1] * e[2], e[0] * e[2],
+                          e[0] * e[2], e[0] * e[1], e[0] * e[1]])
+        cdf = np.cumsum(areas / areas.sum())
+        u0 = u2[..., 0]
+        face = jnp.searchsorted(jnp.asarray(cdf, jnp.float32), u0)
+        face = jnp.clip(face, 0, 5)
+        # remap u0 within the face
+        lo_j = jnp.asarray(lo, jnp.float32)
+        hi_j = jnp.asarray(hi, jnp.float32)
+        cdf_j = jnp.concatenate([jnp.zeros((1,)), jnp.asarray(cdf, jnp.float32)])
+        u0r = (u0 - cdf_j[face]) / jnp.maximum(cdf_j[face + 1] - cdf_j[face], 1e-12)
+        u1 = u2[..., 1]
+        normals = jnp.asarray([[-1, 0, 0], [1, 0, 0], [0, -1, 0],
+                               [0, 1, 0], [0, 0, -1], [0, 0, 1]], jnp.float32)
+        n = normals[face]
+        axis = face // 2
+        hi_side = (face % 2) == 1
+        # build p: fixed coordinate on the face, two free coords from (u0r, u1)
+        free = jnp.stack([u0r, u1], -1)
+        p = jnp.zeros(u2.shape[:-1] + (3,), jnp.float32)
+        for ax in range(3):
+            others = [a for a in range(3) if a != ax]
+            sel = axis == ax
+            fixed = jnp.where(hi_side, hi_j[ax], lo_j[ax])
+            val_ax = jnp.where(sel, fixed, p[..., ax])
+            p = p.at[..., ax].set(val_ax)
+            for k, oax in enumerate(others):
+                v = lo_j[oax] + free[..., k] * (hi_j[oax] - lo_j[oax])
+                p = p.at[..., oax].set(jnp.where(sel, v, p[..., oax]))
+        pdf = jnp.full(u2.shape[:-1], 1.0 / self.area())
+        return p, n, pdf
+
+
+@dataclass(frozen=True)
+class TriangleMesh:
+    """Indexed triangle mesh; batched Möller–Trumbore in triangle chunks.
+
+    Reference Triangle shapes.h:855 + plytool loader (cmd/plytool.cpp).
+    Intersection materializes (N_rays, CHUNK) intermediates only.
+    """
+    vertices: np.ndarray           # (V, 3) float32
+    indices: np.ndarray            # (T, 3) int32
+    material: Optional[object] = None
+    uvs: Optional[np.ndarray] = None   # (V, 2) optional vertex uvs
+    chunk: int = 256
+
+    def _tri_arrays(self):
+        v = np.asarray(self.vertices, np.float32)
+        idx = np.asarray(self.indices, np.int32)
+        p0 = v[idx[:, 0]]
+        e1 = v[idx[:, 1]] - p0
+        e2 = v[idx[:, 2]] - p0
+        return (jnp.asarray(p0), jnp.asarray(e1), jnp.asarray(e2))
+
+    def intersect(self, o, d, t_max):
+        t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                 o.shape[:-1])
+        p0, e1, e2 = self._tri_arrays()
+        T = p0.shape[0]
+        C = min(self.chunk, T)
+        n_chunks = -(-T // C)
+        pad = n_chunks * C - T
+        if pad:
+            p0 = jnp.concatenate([p0, jnp.zeros((pad, 3))], 0)
+            e1 = jnp.concatenate([e1, jnp.zeros((pad, 3))], 0)
+            e2 = jnp.concatenate([e2, jnp.zeros((pad, 3))], 0)
+        p0c = p0.reshape(n_chunks, C, 3)
+        e1c = e1.reshape(n_chunks, C, 3)
+        e2c = e2.reshape(n_chunks, C, 3)
+        N = o.shape[0]
+
+        def step(carry, tris):
+            best_t, best_tri, best_u, best_v, base = carry
+            tp0, te1, te2 = tris
+            # Möller–Trumbore: rays (N,1,3) x tris (1,C,3)
+            h = jnp.cross(d[:, None, :], te2[None, :, :])
+            a = jnp.sum(te1[None] * h, -1)
+            inv_a = 1.0 / jnp.where(jnp.abs(a) > 1e-12, a, 1e-12)
+            s = o[:, None, :] - tp0[None]
+            u = jnp.sum(s * h, -1) * inv_a
+            q = jnp.cross(s, te1[None])
+            v = jnp.sum(d[:, None, :] * q, -1) * inv_a
+            t = jnp.sum(te2[None] * q, -1) * inv_a
+            ok = ((jnp.abs(a) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1)
+                  & (t > _EPS) & (t < t_max[:, None]))
+            t = jnp.where(ok, t, jnp.inf)
+            ci = jnp.argmin(t, axis=1)
+            ct = jnp.take_along_axis(t, ci[:, None], 1)[:, 0]
+            cu = jnp.take_along_axis(u, ci[:, None], 1)[:, 0]
+            cv = jnp.take_along_axis(v, ci[:, None], 1)[:, 0]
+            closer = ct < best_t
+            best_t = jnp.where(closer, ct, best_t)
+            best_tri = jnp.where(closer, base + ci.astype(jnp.int32), best_tri)
+            best_u = jnp.where(closer, cu, best_u)
+            best_v = jnp.where(closer, cv, best_v)
+            return (best_t, best_tri, best_u, best_v, base + C), None
+
+        init = (jnp.full((N,), jnp.inf), jnp.full((N,), -1, jnp.int32),
+                jnp.zeros((N,)), jnp.zeros((N,)), jnp.int32(0))
+        (best_t, best_tri, bu, bv, _), _ = jax.lax.scan(
+            step, init, (p0c, e1c, e2c))
+        tri = jnp.clip(best_tri, 0, T - 1)
+        n = jnp.cross(jnp.take(e1[: T], tri, axis=0) if pad else e1[tri],
+                      jnp.take(e2[: T], tri, axis=0) if pad else e2[tri])
+        n = vm.normalize(n)
+        if self.uvs is not None:
+            uvv = jnp.asarray(self.uvs, jnp.float32)
+            idx = jnp.asarray(self.indices, jnp.int32)
+            uv0 = uvv[idx[tri, 0]]
+            uv1 = uvv[idx[tri, 1]]
+            uv2 = uvv[idx[tri, 2]]
+            uv = (1 - bu - bv)[:, None] * uv0 + bu[:, None] * uv1 + bv[:, None] * uv2
+        else:
+            uv = jnp.stack([bu, bv], -1)
+        return best_t, n, uv
+
+    def _areas(self):
+        v = np.asarray(self.vertices, np.float64)
+        idx = np.asarray(self.indices, np.int64)
+        e1 = v[idx[:, 1]] - v[idx[:, 0]]
+        e2 = v[idx[:, 2]] - v[idx[:, 0]]
+        return 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+
+    def area(self) -> float:
+        return float(self._areas().sum())
+
+    def sample(self, u2):
+        areas = self._areas()
+        cdf = np.cumsum(areas / areas.sum()).astype(np.float32)
+        tri = jnp.clip(jnp.searchsorted(jnp.asarray(cdf), u2[..., 0]),
+                       0, len(areas) - 1)
+        cdf_j = jnp.concatenate([jnp.zeros((1,)), jnp.asarray(cdf)])
+        u0r = (u2[..., 0] - cdf_j[tri]) / jnp.maximum(
+            cdf_j[tri + 1] - cdf_j[tri], 1e-12)
+        # uniform barycentrics (sqrt warp)
+        su = safe_sqrt(u0r)
+        b0 = 1.0 - su
+        b1 = u2[..., 1] * su
+        v = jnp.asarray(self.vertices, jnp.float32)
+        idx = jnp.asarray(self.indices, jnp.int32)
+        p0 = v[idx[tri, 0]]
+        p1 = v[idx[tri, 1]]
+        p2 = v[idx[tri, 2]]
+        p = b0[..., None] * p0 + b1[..., None] * p1 + (1 - b0 - b1)[..., None] * p2
+        n = jnp.cross(p1 - p0, p2 - p0)
+        n = vm.normalize(n)
+        pdf = jnp.full(u2.shape[:-1], 1.0 / self.area())
+        return p, n, pdf
 
 
 def intersect_all(prims: List, o, d, t_max):
@@ -111,13 +433,15 @@ def intersect_all(prims: List, o, d, t_max):
     best_t = jnp.full((n_rays,), jnp.inf)
     best_n = jnp.zeros((n_rays, 3))
     best_id = jnp.full((n_rays,), -1, jnp.int32)
+    best_uv = jnp.zeros((n_rays, 2))
     for i, prim in enumerate(prims):
-        t, nrm = prim.intersect(o, d, t_max)
+        t, nrm, uv = prim.intersect(o, d, t_max)
         closer = t < best_t
         best_t = jnp.where(closer, t, best_t)
         best_n = jnp.where(closer[:, None], nrm, best_n)
         best_id = jnp.where(closer, i, best_id)
-    return Hit(best_t, best_n, best_id)
+        best_uv = jnp.where(closer[:, None], uv, best_uv)
+    return Hit(best_t, best_n, best_id, best_uv)
 
 
 def occluded(prims: List, o, d, dist):
@@ -127,6 +451,6 @@ def occluded(prims: List, o, d, dist):
     for prim in prims:
         if prim.material is None:
             continue  # medium interface: doesn't block light
-        t, _ = prim.intersect(o, d, dist)
+        t, _, _ = prim.intersect(o, d, dist)
         blocked = blocked | jnp.isfinite(t)
     return blocked

@@ -112,21 +112,46 @@ def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
             )
             L = res.L
         elif scene.primitives:
-            # surfaces only: march through an empty medium (zero majorant)
-            med = dda.MediumArrays(
-                density=jnp.ones((1, 1, 1)), majorant=jnp.zeros((1, 1, 1)),
-                w2m=jnp.eye(4), g=jnp.float32(0.0),
-                sigma_a=jnp.zeros_like(swl.lam), sigma_s=jnp.zeros_like(swl.lam),
-                Le=jnp.zeros_like(swl.lam),
-            )
-            res = volpath.li(
-                med, scene.lights, o, d,
-                swl.lam, rng, maj_res=(1, 1, 1), homogeneous=True,
-                max_depth=scene.max_depth, scene_radius=scene.scene_radius,
-                max_march_steps=scene.max_march_steps,
-                prims=tuple(scene.primitives),
-            )
-            L = res.L
+            integ = getattr(scene, "integrator", "volpath")
+            if integ in ("path", "simplepath", "randomwalk", "ao"):
+                from ..models.integrators import path as path_mod
+
+                if integ == "path":
+                    L, rng = path_mod.li_path(
+                        tuple(scene.primitives), scene.lights, o, d, swl.lam,
+                        rng, max_depth=scene.max_depth,
+                        light_strategy=getattr(scene, "light_sampler", "uniform"),
+                        regularize=getattr(scene, "regularize", False))
+                elif integ == "simplepath":
+                    # SimplePathIntegrator defaults: samplelights without MIS
+                    L, rng = path_mod.li_path(
+                        tuple(scene.primitives), scene.lights, o, d, swl.lam,
+                        rng, max_depth=scene.max_depth, nee=True, mis=False)
+                elif integ == "randomwalk":
+                    L, rng = path_mod.li_random_walk(
+                        tuple(scene.primitives), scene.lights, o, d, swl.lam,
+                        rng, max_depth=scene.max_depth)
+                else:
+                    L, rng = path_mod.li_ao(
+                        tuple(scene.primitives), scene.lights, o, d, swl.lam,
+                        rng)
+            else:
+                # volpath over an empty medium (zero majorant)
+                med = dda.MediumArrays(
+                    density=jnp.ones((1, 1, 1)), majorant=jnp.zeros((1, 1, 1)),
+                    w2m=jnp.eye(4), g=jnp.float32(0.0),
+                    sigma_a=jnp.zeros_like(swl.lam),
+                    sigma_s=jnp.zeros_like(swl.lam),
+                    Le=jnp.zeros_like(swl.lam),
+                )
+                res = volpath.li(
+                    med, scene.lights, o, d,
+                    swl.lam, rng, maj_res=(1, 1, 1), homogeneous=True,
+                    max_depth=scene.max_depth, scene_radius=scene.scene_radius,
+                    max_march_steps=scene.max_march_steps,
+                    prims=tuple(scene.primitives),
+                )
+                L = res.L
         else:
             from ..models import lights as lights_mod
 
@@ -160,6 +185,54 @@ def render(scene, spp: Optional[int] = None, progress: bool = False):
     dt = time.time() - t0
     img = np.asarray(film.to_image())
     return img, {"render_time": dt, "spp": spp, "rays_per_sec": H * W * spp / dt}
+
+
+def render_lightpath(scene, spp: Optional[int] = None, n_paths_per_wave=None):
+    """LightPathIntegrator driver (cpu/integrators.cpp:322): traces
+    H*W light paths per wave and splats through the camera; the image is
+    the splat sum over the total path count (see light_path.py's
+    measurement derivation)."""
+    from ..models import samplers as samplers_mod
+    from ..models.integrators import light_path as lp_mod
+
+    spp = spp if spp is not None else scene.spp
+    H, W = scene.height, scene.width
+    n_paths = n_paths_per_wave or (H * W)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def wave(splat_sum, sample_idx):
+        pidx = jnp.arange(n_paths, dtype=jnp.uint32)
+        sidx = jnp.full((n_paths,), sample_idx, jnp.uint32)
+        rng = dda.seed_stream(pidx, sidx, salt=scene.seed + 17)
+        rng, ul = dda.pcg_uniform(rng)
+        swl = sp.sample_wavelengths_visible(ul)
+        pix, val, rng = lp_mod.trace_light_paths(
+            tuple(scene.primitives), scene.lights, scene.camera,
+            n_paths, swl.lam, rng, max_depth=scene.max_depth,
+            light_strategy=getattr(scene, "light_sampler", "uniform"))
+        # spectral -> xyz -> rgb accumulation (same sensor path as Film)
+        from ..utils import colorspace as cspace
+        from ..utils import spectrum as spu
+
+        n_splat = pix.shape[0]
+        reps = n_splat // n_paths
+        swl_r = spu.SampledWavelengths(jnp.tile(swl.lam, (reps, 1)),
+                                       jnp.tile(swl.pdf, (reps, 1)))
+        rgb = cspace.xyz_to_rgb(spu.to_xyz(val, swl_r))
+        rgb = jnp.nan_to_num(rgb, nan=0.0, posinf=0.0, neginf=0.0)
+        flat_idx = jnp.where(pix[:, 0] >= 0,
+                             pix[:, 1] * W + pix[:, 0], H * W)
+        acc = jnp.zeros((H * W + 1, 3)).at[flat_idx].add(rgb)
+        return splat_sum + acc[:H * W].reshape(H, W, 3)
+
+    splat = jnp.zeros((H, W, 3))
+    t0 = time.time()
+    for s in range(spp):
+        splat = wave(splat, jnp.uint32(s))
+    jax.block_until_ready(splat)
+    dt = time.time() - t0
+    img = np.asarray(splat) / (spp * n_paths)
+    return img, {"render_time": dt, "spp": spp, "n_paths": spp * n_paths}
 
 
 def make_graph_wave_renderer(scene, graph):

@@ -32,6 +32,14 @@ class Scene:
     max_march_steps: int = 100000
     # surfaces (round-1: optional simple primitive list, models.shapes)
     primitives: List = field(default_factory=list)
+    # integrator selection (reference factory cpu/integrators.cpp:3657):
+    # volpath (default; fused) | simplevolpath | path | simplepath |
+    # randomwalk | ao | lightpath | bdpt | graph | mlt | sppm
+    integrator: str = "volpath"
+    # light sampler: uniform | power (lightsamplers.h)
+    light_sampler: str = "uniform"
+    # pbrt --regularize flag (widen near-specular lobes after first bounce)
+    regularize: bool = False
 
     @property
     def width(self):

@@ -1,0 +1,50 @@
+"""MLT tests: PSSMLT converges to the forward path-traced image
+(cpu/integrators.cpp MLTIntegrator semantics; normalization via bootstrap)."""
+import numpy as np
+
+from acceleratedvolrenderer_tpu.models import lights as lm
+from acceleratedvolrenderer_tpu.models.cameras import PerspectiveCamera
+from acceleratedvolrenderer_tpu.models.film import BoxFilter
+from acceleratedvolrenderer_tpu.models.integrators import mlt as mlt_mod
+from acceleratedvolrenderer_tpu.models.materials import DiffuseMaterial
+from acceleratedvolrenderer_tpu.models.shapes import Quad, Sphere
+from acceleratedvolrenderer_tpu.parallel import render as render_mod
+from acceleratedvolrenderer_tpu.scene import Scene
+from acceleratedvolrenderer_tpu.utils import spectrum as sp
+from acceleratedvolrenderer_tpu.utils import vecmath as vm
+
+
+def flat(c):
+    return sp.constant_spectrum(c)
+
+
+def lum(img):
+    return img @ np.array([0.2126, 0.7152, 0.0722])
+
+
+def test_mlt_matches_path():
+    floor = Quad(origin=np.array([-4.0, 0.0, -4.0]),
+                 e1=np.array([8.0, 0.0, 0.0]), e2=np.array([0.0, 0.0, 8.0]),
+                 material=DiffuseMaterial(reflectance=flat(0.6)))
+    ball = Sphere(center=np.array([0.0, 0.7, 0.5]), radius=0.7,
+                  material=DiffuseMaterial(reflectance=flat(0.4)))
+    lamp = Quad(origin=np.array([-1.0, 3.0, -0.5]),
+                e1=np.array([2.0, 0.0, 0.0]), e2=np.array([0.0, 0.0, 2.0]),
+                material=DiffuseMaterial(reflectance=flat(0.0),
+                                         emission=flat(6.0)))
+    cam = PerspectiveCamera(c2w=vm.look_at((0, 2.0, -5), (0, 0.5, 1), (0, 1, 0)),
+                            fov_deg=55.0, width=10, height=10)
+    scene = Scene(camera=cam, medium=None, lights=[], primitives=[floor, ball, lamp],
+                  max_depth=4, filter=BoxFilter(), spp=256,
+                  scene_radius=50.0, integrator="path")
+    img_f, _ = render_mod.render(scene)
+    img_m, stats = mlt_mod.render_mlt(scene, n_chains=2048, n_mutations=48,
+                                      n_bootstrap=4096, seed=3)
+    assert stats["b"] > 0
+    a, b = lum(img_f).mean(), lum(img_m).mean()
+    assert abs(a - b) / max(a, 1e-9) < 0.15, (a, b)
+    # spatial agreement (coarse): correlation of pixel luminances
+    fa = lum(img_f).reshape(-1)
+    fb = lum(img_m).reshape(-1)
+    corr = np.corrcoef(fa, fb)[0, 1]
+    assert corr > 0.8, corr
