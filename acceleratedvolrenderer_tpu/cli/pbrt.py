@@ -24,7 +24,8 @@ def main(argv=None):
     ap.add_argument("--maxdepth", type=int, default=None)
     ap.add_argument("--integrator", default=None,
                     help="volpath (default) | simplevolpath | graph | path | "
-                         "simplepath | randomwalk | ao | lightpath | mlt | bdpt")
+                         "simplepath | randomwalk | ao | lightpath | mlt | "
+                         "bdpt | sppm")
     ap.add_argument("--lightsampler", default=None, help="uniform | power")
     ap.add_argument("--regularize", action="store_true",
                     help="widen near-specular BSDFs after the first bounce")
@@ -105,6 +106,10 @@ def main(argv=None):
             keep_strategies=False)
         stats.setdefault("spp", scene.spp)
         stats.setdefault("rays_per_sec", 0.0)
+    elif args.integrator == "sppm":
+        from ..models.integrators import sppm as sppm_mod
+
+        img, stats = sppm_mod.render_sppm(scene)
     elif args.integrator == "mlt":
         from ..models.integrators import mlt as mlt_mod
 
