@@ -14,7 +14,23 @@ wavelength) of each pixel sample.  Three strategies:
   stratified  — sample_index mapped to a sqrt(spp) x sqrt(spp) stratum with
                 jitter (StratifiedSampler semantics)
   sobol       — Owen-scrambled (0,2)-sequence (van der Corput + Sobol dim 2),
-                scrambled per pixel: the ZSobol/PaddedSobol blue-noise family
+                scrambled per pixel (SobolSampler semantics, per-pixel
+                decorrelation replacing the global-sequence pixel offsets)
+  paddedsobol — the (0,2) pair with an additional per-pixel random *index
+                permutation* (PaddedSobolSampler :144: each pixel consumes a
+                shuffled slice of the sequence, decorrelating dimensions
+                across pixels)
+  zsobol      — sample indices assigned along a hashed Morton curve over
+                (pixel, sample) with nested base-4 permutations (the
+                Ahmed-Wonka blue-noise ZSobolSampler :225), then the
+                scrambled (0,2) point
+  halton      — radical inverse base 2 / base 3 with per-pixel digit
+                scrambling (HaltonSampler :33 semantics; per-pixel
+                scrambling replaces the global pixel-tile index offsets)
+  pmj02bn     — alias of zsobol: both produce (0,2)-stratified points with
+                blue-noise distribution across pixels; the table-driven
+                PMJ02BNSampler (:367) is replaced by the procedural
+                construction
 """
 from __future__ import annotations
 
@@ -67,11 +83,66 @@ def _u01(bits):
     return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
-def film_sample(kind: str, pixel_index, sample_index, spp: int, seed: int = 0):
+def _radical_inverse_base3(i, perm_seed):
+    """Base-3 radical inverse with per-pixel random digit shifts (the
+    Halton digit scrambling of util/lowdiscrepancy.h, hash-driven)."""
+    i = jnp.asarray(i, jnp.uint32)
+    frac = jnp.zeros(i.shape, jnp.float32)
+    inv = 1.0 / 3.0
+    x = i
+    s = perm_seed
+    for _ in range(20):          # 3^20 > 2^31: full index coverage
+        digit = x % 3
+        s = s * jnp.uint32(0x9E3779B9) + jnp.uint32(1)
+        shift = (s >> 16) % 3
+        frac = frac + ((digit + shift) % 3).astype(jnp.float32) * inv
+        inv /= 3.0
+        x = x // 3
+    return jnp.minimum(frac, np.float32(1.0 - 1e-7))
+
+
+def _morton2(x, y, bits=16):
+    """Interleave the low `bits` of x (even positions) and y (odd)."""
+    m = jnp.zeros_like(jnp.asarray(x, jnp.uint32))
+    x = jnp.asarray(x, jnp.uint32)
+    y = jnp.asarray(y, jnp.uint32)
+    for b in range(bits):
+        m = m | (((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))
+    return m
+
+
+def _zsobol_index(pix, sample_index, spp: int, seed):
+    """ZSobolSampler index assignment (samplers.h:225): the (pixel, sample)
+    Morton code is permuted with a nested, hash-keyed base-4 permutation so
+    nearby pixels get decorrelated-but-stratified slices of the global
+    sequence (Ahmed & Wonka blue-noise)."""
+    log2_spp = max(int(np.ceil(np.log2(max(spp, 1)))), 0)
+    m = _morton2(pix[..., 0], pix[..., 1], bits=12)
+    idx = (m << log2_spp) | jnp.asarray(sample_index, jnp.uint32)
+    n_digits = (24 + log2_spp + 1) // 2
+    # permute base-4 digits top-down; the permutation of each digit is keyed
+    # by the digits above it (nested uniform digit scrambling)
+    out = jnp.zeros_like(idx)
+    prefix = jnp.zeros_like(idx)
+    for d in range(n_digits - 1, -1, -1):
+        digit = (idx >> jnp.uint32(2 * d)) & 3
+        key = _owen_hash(prefix ^ jnp.uint32(0x55 + d), seed)
+        pdigit = (digit + (key >> 24)) & 3
+        out = out | (pdigit << jnp.uint32(2 * d))
+        prefix = (prefix << 2) | digit
+    return out
+
+
+def film_sample(kind: str, pixel_index, sample_index, spp: int, seed: int = 0,
+                pix=None):
     """Returns ((N,) u1, (N,) u2) film-jitter uniforms plus the advanced rng
     stream for downstream draws.
 
-    kind: 'independent' | 'stratified' | 'sobol'
+    kind: 'independent' | 'stratified' | 'sobol' | 'paddedsobol' | 'zsobol'
+          | 'pmj02bn' | 'halton'
+    pix: optional (N, 2) integer pixel coords — enables the spatial
+         blue-noise index assignment of zsobol/pmj02bn (falls back to a
+         hash of pixel_index when absent).
     """
     rng = dda.seed_stream(pixel_index, sample_index, salt=seed)
     rng, ua = dda.pcg_uniform(rng)
@@ -92,17 +163,63 @@ def film_sample(kind: str, pixel_index, sample_index, spp: int, seed: int = 0):
         u2 = (sy + ub) / ny
         return u1, u2, rng
 
-    if kind == "sobol":
-        i = jnp.asarray(sample_index, jnp.uint32)
-        pix_seed = dda.seed_stream(pixel_index, jnp.zeros_like(
-            jnp.asarray(pixel_index, jnp.uint32)), salt=seed + 77)
-        # dim 1: van der Corput, Owen-scrambled per pixel.  The Laine-Karras
-        # hash only propagates bits upward, so it must run in the
-        # reversed-fraction (= index) domain: scrambled = reverse(hash(i))
-        d1 = _reverse_bits32(_owen_hash(i, pix_seed))
+    pix_seed = dda.seed_stream(pixel_index, jnp.zeros_like(
+        jnp.asarray(pixel_index, jnp.uint32)), salt=seed + 77)
+
+    def sobol02(i, scr):
+        # dim 1: van der Corput, Owen-scrambled.  The Laine-Karras hash only
+        # propagates bits upward, so it must run in the reversed-fraction
+        # (= index) domain: scrambled = reverse(hash(i))
+        d1 = _reverse_bits32(_owen_hash(i, scr))
         # dim 2: Sobol' direction numbers, separately scrambled
         d2 = _sobol_dim2(i)
-        d2 = _reverse_bits32(_owen_hash(_reverse_bits32(d2), pix_seed ^ jnp.uint32(0x9E3779B9)))
-        return _u01(d1), _u01(d2), rng
+        d2 = _reverse_bits32(
+            _owen_hash(_reverse_bits32(d2), scr ^ jnp.uint32(0x9E3779B9)))
+        return _u01(d1), _u01(d2)
+
+    if kind == "sobol":
+        u1, u2 = sobol02(jnp.asarray(sample_index, jnp.uint32), pix_seed)
+        return u1, u2, rng
+
+    if kind == "paddedsobol":
+        # PaddedSobolSampler: per pixel, a randomly permuted slice of the
+        # sequence — index = perm_pixel(sample_index), bijective via a
+        # 4-round Feistel network over the next-pow2 index range (replaces
+        # PermutationElement, util/hash.h)
+        i = jnp.asarray(sample_index, jnp.uint32)
+        bits = max(int(np.ceil(np.log2(max(spp, 2)))), 2)
+        lo_b = bits // 2
+        hi_b = bits - lo_b
+        lo = i & jnp.uint32((1 << lo_b) - 1)
+        hi = (i >> lo_b) & jnp.uint32((1 << hi_b) - 1)
+        for r in range(4):
+            f = _owen_hash(lo ^ jnp.uint32((r * 0x68BC21EB) & 0xFFFFFFFF),
+                           pix_seed)
+            hi, lo = lo & jnp.uint32((1 << lo_b) - 1), \
+                (hi ^ (f & jnp.uint32((1 << hi_b) - 1)))
+            lo_b, hi_b = hi_b, lo_b
+        perm = (hi << lo_b) | lo
+        u1, u2 = sobol02(perm, pix_seed)
+        return u1, u2, rng
+
+    if kind in ("zsobol", "pmj02bn"):
+        if pix is not None:
+            idx = _zsobol_index(pix, sample_index, spp,
+                                jnp.uint32(seed & 0xFFFFFFFF))
+        else:
+            idx = _zsobol_index(
+                jnp.stack([jnp.asarray(pixel_index, jnp.uint32) & 0xFFF,
+                           jnp.asarray(pixel_index, jnp.uint32) >> 12], -1),
+                sample_index, spp, jnp.uint32(seed & 0xFFFFFFFF))
+        # one GLOBAL scramble: spatial decorrelation comes from the index
+        # permutation, which is what yields the blue-noise error distribution
+        u1, u2 = sobol02(idx, jnp.uint32(0xA511E9B3) ^ jnp.uint32(seed))
+        return u1, u2, rng
+
+    if kind == "halton":
+        i = jnp.asarray(sample_index, jnp.uint32)
+        d1 = _reverse_bits32(_owen_hash(i, pix_seed))   # base-2 + scramble
+        u2 = _radical_inverse_base3(i, pix_seed ^ jnp.uint32(0x68BC21EB))
+        return _u01(d1), u2, rng
 
     raise ValueError(f"unknown sampler '{kind}'")

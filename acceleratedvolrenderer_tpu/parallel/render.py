@@ -74,7 +74,7 @@ def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
 
         sidx = jnp.full((N,), sample_idx, jnp.uint32)
         ua, ub, rng = samplers_mod.film_sample(
-            scene.sampler, pixidx, sidx, scene.spp, seed=scene.seed)
+            scene.sampler, pixidx, sidx, scene.spp, seed=scene.seed, pix=pix)
         # camera sample: filter-importance-sampled film offset
         off = filt.sample_offset(jnp.stack([ua, ub], -1)) + 0.5
         # wavelengths

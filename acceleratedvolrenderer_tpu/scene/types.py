@@ -28,7 +28,8 @@ class Scene:
     # sampling
     spp: int = 16
     seed: int = 0
-    sampler: str = "independent"   # independent | stratified | sobol
+    sampler: str = "independent"   # independent | stratified | sobol |
+    #   paddedsobol | zsobol | pmj02bn | halton  (samplers.h:33-735 family)
     max_march_steps: int = 100000
     # surfaces (round-1: optional simple primitive list, models.shapes)
     primitives: List = field(default_factory=list)

@@ -52,3 +52,50 @@ def test_pixels_decorrelated():
     p = _gather("sobol", 32, 16)
     # per-pixel scrambling: different pixels get different point sets
     assert not np.allclose(p[0], p[1])
+
+
+def test_new_kinds_in_unit_square():
+    for kind in ("paddedsobol", "zsobol", "pmj02bn", "halton"):
+        p = _gather(kind, 8, 16)
+        assert p.min() >= 0.0 and p.max() < 1.0, kind
+
+
+def test_halton_base3_stratification():
+    """First 9 base-3 samples of dim 2 land one per 1/9 stratum."""
+    p = _gather("halton", 8, 9)
+    for i in range(8):
+        cells = (p[i, :, 1] * 9).astype(int)
+        assert len(set(cells.tolist())) == 9, cells
+
+
+def test_zsobol_stratified_per_pixel():
+    """The index permutation preserves (0,2) stratification within a pixel:
+    the spp samples of one pixel cover every stratum exactly once."""
+    spp = 16
+    pix = jnp.asarray(np.stack([np.arange(16) % 4, np.arange(16) // 4], -1),
+                      jnp.int32)
+    pts = []
+    for s in range(spp):
+        u1, u2, _ = samplers.film_sample(
+            "zsobol", jnp.arange(16, dtype=jnp.uint32),
+            jnp.full((16,), s, jnp.uint32), spp, pix=pix)
+        pts.append(np.stack([np.asarray(u1), np.asarray(u2)], -1))
+    p = np.stack(pts, 1)
+    for i in range(16):
+        cells = (p[i, :, 0] * 4).astype(int) + 4 * (p[i, :, 1] * 4).astype(int)
+        assert len(set(cells.tolist())) == spp, (i, sorted(cells.tolist()))
+
+
+def test_paddedsobol_permutes_within_pixel():
+    """Each pixel's spp samples are a permutation of indices [0, spp) —
+    the same point SET as plain sobol with that scramble, shuffled."""
+    spp = 16
+    pix = jnp.arange(4, dtype=jnp.uint32)
+    seen = [set() for _ in range(4)]
+    for s in range(spp):
+        u1, u2, _ = samplers.film_sample(
+            "paddedsobol", pix, jnp.full((4,), s, jnp.uint32), spp)
+        for i in range(4):
+            seen[i].add((round(float(u1[i]), 6), round(float(u2[i]), 6)))
+    for i in range(4):
+        assert len(seen[i]) == spp  # no index collisions: a true permutation
