@@ -77,6 +77,10 @@ _SURF_EPS = 1e-4
 class LiResult(NamedTuple):
     L: jnp.ndarray
     rng: jnp.ndarray
+    alive_hist: jnp.ndarray | None = None   # (max_iters,) alive count per
+    #   loop iteration when record_alive=True (occupancy diagnostics — the
+    #   TPU analogue of the reference's STAT_ counters)
+    film_rgb: jnp.ndarray | None = None     # (3*(H*W+1),) in regen mode
 
 
 class _Regs(NamedTuple):
@@ -84,6 +88,14 @@ class _Regs(NamedTuple):
     pc: jnp.ndarray          # (N,) int32 program counter
     depth: jnp.ndarray       # (N,) int32 real-scatter count
     rng: jnp.ndarray         # (N,) uint32
+    # per-lane spectral context (loop state so lanes can respawn with fresh
+    # wavelengths in regen mode; constants otherwise)
+    lam: jnp.ndarray         # (N, L) sampled wavelengths
+    lam_pdf: jnp.ndarray     # (N, L)
+    s_t: jnp.ndarray         # (N, L) sigma_t spectrum (unit density)
+    s_a: jnp.ndarray         # (N, L)
+    s_s: jnp.ndarray         # (N, L)
+    s_le: jnp.ndarray        # (N, L)
     # current segment ray (main path *or* shadow, per pc)
     so: jnp.ndarray          # (N, 3) segment origin
     sd: jnp.ndarray          # (N, 3) segment direction (unit)
@@ -105,6 +117,8 @@ class _Regs(NamedTuple):
     dl_since: jnp.ndarray
     reached: jnp.ndarray
     seg_escaped: jnp.ndarray  # segment ended without reaching the target
+    maxd: jnp.ndarray        # (N,) majorant of the current voxel (set by
+    #   substep; reused by the event block to avoid a second gather)
     # spectral state
     L: jnp.ndarray
     beta: jnp.ndarray
@@ -120,6 +134,14 @@ class _Regs(NamedTuple):
     spdf_d: jnp.ndarray      # (N,) sampling-side scatter pdf at the NEE dir
     is_delta: jnp.ndarray    # (N,) bool
     n_steps: jnp.ndarray     # scalar
+    # regeneration state (regen mode only; (1,)/scalar dummies otherwise)
+    work: jnp.ndarray        # (N,) int32 current work item, -1 = none
+    cursor: jnp.ndarray      # scalar int32 next unissued work item
+    film_rgb: jnp.ndarray    # (3 * (H*W + 1),) channel-major flat film
+    #   (+1 = discard slot per channel).  Flat so the retire splat is ONE
+    #   scalar scatter-add — XLA:TPU handles (3N,) scalar updates ~3x faster
+    #   than (N, 3) row updates.  Per-sample weight is identically 1 (filter
+    #   importance sampling), so weight_sum == spp and needs no scatter.
 
 
 def li(
@@ -138,6 +160,8 @@ def li(
     fixed_steps=None,
     rgb_mode: bool = False,
     prims: tuple = (),
+    record_alive: bool = False,
+    regen=None,
 ) -> LiResult:
     N = o.shape[0]
     LANES = lam.shape[-1]
@@ -148,31 +172,49 @@ def li(
     if has_surf:
         from .. import materials as materials_mod
 
-        albedos = jnp.stack(
-            [materials_mod._eval_spectral(
-                getattr(p.material, "reflectance", 0.5), lam) for p in opaque]
-        )  # (M, N, L)
-        emissions = jnp.stack(
-            [
-                (p.material.emission(lam) * p.material.emission_scale
-                 if p.material.emissive else jnp.zeros((N, LANES)))
-                * jnp.ones((N, LANES))
-                for p in opaque
-            ]
-        )
-        emissive_mask = jnp.asarray([p.material.emissive for p in opaque])
+        def eval_materials(lam_cur):
+            albedos = jnp.stack(
+                [materials_mod._eval_spectral(
+                    getattr(p.material, "reflectance", 0.5), lam_cur)
+                 for p in opaque]
+            )  # (M, N, L)
+            emissions = jnp.stack(
+                [
+                    (p.material.emission(lam_cur) * p.material.emission_scale
+                     if p.material.emissive else jnp.zeros((N, LANES)))
+                    * jnp.ones((N, LANES))
+                    for p in opaque
+                ]
+            )
+            return albedos, emissions
 
-    if rgb_mode:
-        # RGBGridMedium: the majorant grid already holds spectral-max
-        # sigma_t per cell (media.cpp:364-376), so the per-ray sigma_t
-        # spectrum is 1 and coefficients come from the grids per collision
-        sigma_t = jnp.ones((N, LANES), jnp.float32)
-    else:
-        sigma_t = jnp.broadcast_to(med.sigma_a + med.sigma_s, (N, LANES))
-    sigma_a_b = jnp.broadcast_to(med.sigma_a, (N, LANES))
-    sigma_s_b = jnp.broadcast_to(med.sigma_s, (N, LANES))
-    Le_b = jnp.broadcast_to(med.Le, (N, LANES))
-    sigma_t0 = sigma_t[:, 0]
+        emissive_mask = jnp.asarray([p.material.emissive for p in opaque])
+        if regen is None:
+            _mat_const = eval_materials(lam)
+
+    def spectra_for(lam_cur):
+        """Per-lane medium spectra — evaluated at spawn time."""
+        if rgb_mode:
+            # RGBGridMedium: the majorant grid already holds spectral-max
+            # sigma_t per cell (media.cpp:364-376), so the per-ray sigma_t
+            # spectrum is 1 and coefficients come from the grids per collision
+            s_t = jnp.ones((N, LANES), jnp.float32)
+        elif regen is not None:
+            s_t = None  # filled below from s_a + s_s
+        else:
+            s_t = jnp.broadcast_to(med.sigma_a + med.sigma_s, (N, LANES))
+        if regen is not None:
+            s_a = regen["sigma_a_fn"](lam_cur)
+            s_s = regen["sigma_s_fn"](lam_cur)
+            s_le = regen["Le_fn"](lam_cur)
+            if s_t is None:
+                s_t = s_a + s_s
+        else:
+            s_a = jnp.broadcast_to(med.sigma_a, (N, LANES))
+            s_s = jnp.broadcast_to(med.sigma_s, (N, LANES))
+            s_le = jnp.broadcast_to(med.Le, (N, LANES))
+        return s_t, s_a, s_s, s_le
+
     g = med.g
     g_samp = sg(med.g if med.g_s is None else med.g_s)
     maj_res_i = jnp.asarray(maj_res, jnp.int32)
@@ -194,7 +236,7 @@ def li(
         dda, t0 = dda_init(so, sd, t_max, med.w2m, maj_res)
         rng, u0 = pcg_uniform_masked(rng, need & dda.in_medium)
         u0 = jnp.minimum(u0, ONE_MINUS_EPSILON)
-        st0 = sg(sigma_t0)   # sampling stays detached
+        st0 = sg(old.s_t[:, 0])   # sampling stays detached
         dl0 = jnp.where(st0 > 0, -jnp.log1p(-u0) / jnp.maximum(st0, 1e-30), jnp.inf)
         sel = need
         sel3 = need[:, None]
@@ -216,12 +258,65 @@ def li(
             rng=rng,
         ), dda.in_medium
 
+    # ---- regeneration: work-item spawning (wavefront path regeneration —
+    # wavefront/integrator.cpp's per-sample GenerateCameraRays reshaped so a
+    # retiring lane immediately pulls the next (pixel, sample) work item,
+    # keeping SIMD occupancy ~100% across the whole frame x spp batch) ----
+    if regen is not None:
+        from ...utils import colorspace as _cspace
+        from ...utils import spectrum as _spu
+        from .. import samplers as _samplers
+
+        R_H, R_W, R_spp = regen["H"], regen["W"], regen["spp"]
+        R_HW = R_H * R_W
+        R_total = int(regen["total_work"])
+        R_cam, R_filt = regen["camera"], regen["filter"]
+        R_kind, R_seed = regen["sampler"], regen["seed"]
+        R_maxc = regen.get("max_component", jnp.inf)
+
+        def spawn(work):
+            """Camera ray + wavelengths + rng stream for work items.
+
+            Streams match the chunked driver exactly: film_sample keyed by
+            (pixel, sample), wavelength draw from the advanced stream."""
+            s_idx = (work // R_HW).astype(jnp.uint32)
+            p_idx = (work % R_HW).astype(jnp.uint32)
+            x = (p_idx % R_W).astype(jnp.int32)
+            y = (p_idx // R_W).astype(jnp.int32)
+            pixxy = jnp.stack([x, y], -1)
+            ua, ub, rng_s = _samplers.film_sample(
+                R_kind, p_idx, s_idx, R_spp, seed=R_seed, pix=pixxy)
+            off = R_filt.sample_offset(jnp.stack([ua, ub], -1)) + 0.5
+            from ...ops.dda import pcg_uniform as _pcg_u
+            rng_s, ul = _pcg_u(rng_s)
+            swl = _spu.sample_wavelengths_visible(ul)
+            o_s, d_s = R_cam.generate_rays(pixxy, off, None)
+            return o_s, d_s, swl.lam, swl.pdf, rng_s, p_idx
+
+        work0 = jnp.arange(N, dtype=jnp.int32)
+        valid0 = work0 < R_total
+        o, d, lam, lam_pdf0, rng, _ = spawn(jnp.minimum(work0, R_total - 1))
+        work_init = jnp.where(valid0, work0, -1)
+        cursor_init = jnp.int32(min(N, R_total))
+        film_rgb0 = regen["film_rgb"]
+    else:
+        lam_pdf0 = jnp.ones((N, LANES), f32)
+        work_init = jnp.zeros((1,), jnp.int32)
+        cursor_init = jnp.int32(0)
+        film_rgb0 = jnp.zeros((1,), f32)
+
+    s_t0, s_a0, s_s0, s_le0 = spectra_for(lam)
+
     # ---- initial segment: camera rays --------------------------------------
     zero_s = jnp.zeros((N, LANES), f32)
     regs = _Regs(
-        pc=jnp.full((N,), PC_MARCH, jnp.int32),
+        pc=jnp.full((N,), PC_MARCH, jnp.int32) if regen is None else
+        jnp.where(valid0, PC_MARCH, PC_DONE).astype(jnp.int32),
         depth=jnp.zeros((N,), jnp.int32),
         rng=rng,
+        lam=lam * jnp.ones((N, LANES), f32),
+        lam_pdf=lam_pdf0 * jnp.ones((N, LANES), f32),
+        s_t=s_t0, s_a=s_a0, s_s=s_s0, s_le=s_le0,
         so=o, sd=d, d_main=d,
         t_surf=jnp.full((N,), jnp.inf, f32),
         n_surf=jnp.zeros((N, 3), f32),
@@ -237,6 +332,7 @@ def li(
         dl_since=jnp.zeros((N,), f32),
         reached=jnp.zeros((N,), bool),
         seg_escaped=jnp.zeros((N,), bool),
+        maxd=jnp.zeros((N,), f32),
         L=zero_s,
         beta=jnp.ones((N, LANES), f32),
         r_u=jnp.ones((N, LANES), f32),
@@ -250,43 +346,109 @@ def li(
         spdf_d=jnp.zeros((N,), f32),
         is_delta=jnp.zeros((N,), bool),
         n_steps=jnp.int32(0),
+        work=work_init, cursor=cursor_init,
+        film_rgb=film_rgb0,
     )
     regs, _ = init_segment(o, d, jnp.full((N,), jnp.inf, f32), rng,
-                           jnp.ones((N,), bool), regs,
-                           need_main=jnp.ones((N,), bool))
+                           jnp.ones((N,), bool) if regen is None else valid0,
+                           regs,
+                           need_main=(jnp.ones((N,), bool)
+                                      if regen is None else valid0))
 
-    def substep(c: _Regs) -> _Regs:
-        """One DDA voxel advance for rays hunting their collision target."""
+    maj_flat = med.majorant.reshape(-1)
+
+    def block_substep(c: _Regs, K: int) -> _Regs:
+        """Blocked DDA: advance up to K majorant voxels in ONE pass.
+
+        XLA:TPU charges a large fixed dispatch cost per kernel; a
+        step-at-a-time DDA pays it per voxel.  Here the next K crossing
+        segments are computed purely geometrically (VPU arithmetic, no
+        memory), their K majorants fetched with ONE (N, K) gather, and the
+        free-flight target resolved in closed form over the window
+        (cumulative optical depth + first-crossing select).  Semantics are
+        identical to K sequential substeps up to float associativity
+        (running subtraction -> cumulative sum).
+        """
         hunting = (c.pc != PC_DONE) & ~c.reached & ~c.seg_escaped
-        vx = jnp.clip(c.voxel[:, 0], 0, rx - 1)
-        vy = jnp.clip(c.voxel[:, 1], 0, ry - 1)
-        vz = jnp.clip(c.voxel[:, 2], 0, rz - 1)
-        maxd = sg(med.majorant[vz, vy, vx])
-        seg_end = jnp.minimum(jnp.min(c.next_t, axis=-1), c.t_exit)
-        seg_len = jnp.maximum(seg_end - c.t_cur, 0.0)
-        dl_seg = maxd * seg_len
 
-        lands = hunting & (dl_seg >= c.dl_target) & (maxd > 0)
-        t_col = c.t_cur + jnp.where(maxd > 0, c.dl_target / jnp.maximum(maxd, 1e-30), jnp.inf)
+        # ---- K-step geometric walk (no memory traffic) ----
+        vox = c.voxel
+        nt = c.next_t
+        s_k = c.t_cur
+        live = hunting
+        v_list, s_list, len_list, live_list = [], [], [], []
+        nt_list, exit_list, vox_after = [], [], []
+        for _ in range(K):
+            end_raw = jnp.min(nt, axis=-1)
+            end_k = jnp.minimum(end_raw, c.t_exit)
+            len_k = jnp.maximum(end_k - s_k, 0.0)
+            hit_exit = end_raw >= c.t_exit
+            v_list.append(vox)
+            nt_list.append(nt)
+            s_list.append(s_k)
+            len_list.append(len_k)
+            live_list.append(live)
+            exit_list.append(hit_exit)
+            axis = jnp.argmin(nt, axis=-1)
+            onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+            vox = vox + onehot * c.step
+            # where (not +onehot*dt): dt is inf on degenerate axes, 0*inf=NaN
+            nt = jnp.where(onehot != 0, nt + c.dt, nt)
+            out = jnp.any((vox < 0) | (vox >= maj_res_i), axis=-1)
+            live = live & ~hit_exit & ~out
+            s_k = end_k
+        v_stack = jnp.stack(v_list, 1)          # (N, K, 3)
+        nt_stack = jnp.stack(nt_list, 1)        # (N, K, 3)
+        s_stack = jnp.stack(s_list + [s_k], 1)  # (N, K+1) segment starts
+        len_stack = jnp.stack(len_list, 1)      # (N, K)
+        live_stack = jnp.stack(live_list, 1)    # (N, K)
 
-        crossing = hunting & ~lands
-        axis = jnp.argmin(c.next_t, axis=-1)
-        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
-        hit_exit = seg_end >= c.t_exit
-        do_cross = crossing & ~hit_exit
-        adv = do_cross[:, None] & (onehot != 0)
-        voxel = jnp.where(do_cross[:, None], c.voxel + onehot * c.step, c.voxel)
-        next_t = jnp.where(adv, c.next_t + c.dt, c.next_t)
-        out_of_grid = jnp.any((voxel < 0) | (voxel >= maj_res_i), axis=-1)
-        escaped = crossing & (hit_exit | out_of_grid)
+        # ---- ONE majorant gather over the window ----
+        vc = jnp.clip(v_stack, 0, maj_res_i - 1)
+        flat = (vc[..., 2] * ry + vc[..., 1]) * rx + vc[..., 0]
+        maj = sg(jnp.take(maj_flat, flat, axis=0))          # (N, K)
 
+        # ---- closed-form free-flight resolution ----
+        # maj > 0 gate avoids 0*inf = NaN on unbounded final segments;
+        # prev_cum by shift (not cum - dl) avoids inf - inf
+        dl = jnp.where(live_stack & (maj > 0), maj * len_stack, 0.0)  # (N, K)
+        cum = jnp.cumsum(dl, axis=1)
+        prev_cum = jnp.concatenate(
+            [jnp.zeros((N, 1), f32), cum[:, :-1]], axis=1)
+        ok = live_stack & (dl > 0) & (cum >= c.dl_target[:, None])
+        landed = hunting & jnp.any(ok, axis=1)
+        k_star = jnp.argmax(ok, axis=1)                     # first True
+        take = lambda a: jnp.take_along_axis(
+            a, k_star[:, None], axis=1)[:, 0]
+        take3 = lambda a: jnp.take_along_axis(
+            a, k_star[:, None, None], axis=1)[:, 0]
+        maj_star = take(maj)
+        t_col = (take(s_stack[:, :K])
+                 + (c.dl_target - take(prev_cum))
+                 / jnp.maximum(maj_star, 1e-30))
+
+        # non-landing lanes: advance to the end of the live prefix
+        n_live = jnp.sum(live_stack, axis=1)
+        dl_tot = jnp.where(hunting, cum[:, -1], 0.0)
+        t_end = jnp.take_along_axis(s_stack, n_live[:, None], axis=1)[:, 0]
+        escaped = hunting & ~landed & (n_live < K)
+
+        sel = landed
+        sel3 = landed[:, None]
+        adv = hunting & ~landed
+        voxel = jnp.where(sel3, take3(v_stack), jnp.where(adv[:, None], vox, c.voxel))
+        next_t = jnp.where(sel3, take3(nt_stack), jnp.where(adv[:, None], nt, c.next_t))
+        maxd_last = jnp.take_along_axis(
+            maj, jnp.maximum(n_live - 1, 0)[:, None], axis=1)[:, 0]
         return c._replace(
             voxel=voxel, next_t=next_t,
-            dl_target=jnp.where(crossing, c.dl_target - dl_seg, c.dl_target),
-            dl_since=c.dl_since + jnp.where(
-                lands, c.dl_target, jnp.where(crossing, dl_seg, 0.0)),
-            t_cur=jnp.where(lands, t_col, jnp.where(crossing, seg_end, c.t_cur)),
-            reached=c.reached | lands,
+            maxd=jnp.where(sel, maj_star,
+                           jnp.where(adv, maxd_last, c.maxd)),
+            dl_target=jnp.where(adv, c.dl_target - dl_tot, c.dl_target),
+            dl_since=c.dl_since + jnp.where(sel, c.dl_target,
+                                            jnp.where(adv, dl_tot, 0.0)),
+            t_cur=jnp.where(sel, t_col, jnp.where(adv, t_end, c.t_cur)),
+            reached=c.reached | landed,
             seg_escaped=c.seg_escaped | escaped,
         )
 
@@ -308,10 +470,7 @@ def li(
             # detached estimator's sampling distribution), else sg(same)
             dens_d = sg(dens if med.density_s is None
                         else gridops.trilerp(med.density_s, p_m))
-        vx = jnp.clip(c.voxel[:, 0], 0, rx - 1)
-        vy = jnp.clip(c.voxel[:, 1], 0, ry - 1)
-        vz = jnp.clip(c.voxel[:, 2], 0, rz - 1)
-        maxd = sg(med.majorant[vz, vy, vx])
+        maxd = c.maxd   # majorant of the collision voxel, cached by substep
         if rgb_mode:
             from ...utils import spectrum as _sp
 
@@ -319,18 +478,18 @@ def li(
             p_m = world_to_medium(med.w2m, p_w)
             rgb_a = gridops.trilerp_vec(med.sigma_a_rgb, p_m)
             rgb_s = gridops.trilerp_vec(med.sigma_s_rgb, p_m)
-            sa = _sp.rgb_to_spectrum_smits_batched(rgb_a, lam)
-            ss = _sp.rgb_to_spectrum_smits_batched(rgb_s, lam)
+            sa = _sp.rgb_to_spectrum_smits_batched(rgb_a, c.lam)
+            ss = _sp.rgb_to_spectrum_smits_batched(rgb_s, c.lam)
             sa_d = sg(sa)
             ss_d = sg(ss)
         else:
-            sa = sigma_a_b * dens[:, None]             # evaluation side (diff)
-            ss = sigma_s_b * dens[:, None]
-            sa_d = sg(sigma_a_b) * dens_d[:, None]     # sampling side (frozen)
-            ss_d = sg(sigma_s_b) * dens_d[:, None]
-        sig_maj = sigma_t * maxd[:, None]
+            sa = c.s_a * dens[:, None]                 # evaluation side (diff)
+            ss = c.s_s * dens[:, None]
+            sa_d = sg(c.s_a) * dens_d[:, None]         # sampling side (frozen)
+            ss_d = sg(c.s_s) * dens_d[:, None]
+        sig_maj = c.s_t * maxd[:, None]
         sig_maj0 = sg(sig_maj[:, 0])
-        T_maj = jnp.exp(-sigma_t * c.dl_since[:, None])
+        T_maj = jnp.exp(-c.s_t * c.dl_since[:, None])
         sig_n = jnp.clip(sig_maj - sa - ss, 0.0, None)
         sig_n_d = sg(jnp.clip(sg(sig_maj) - sa_d - ss_d, 0.0, None))
 
@@ -353,9 +512,9 @@ def li(
         r_e_avg = sg(jnp.mean(r_e, axis=-1))
         if rgb_mode and med.Le_rgb is not None:
             rgb_e = gridops.trilerp_vec(med.Le_rgb, p_m)
-            Le_here = _sp.rgb_to_spectrum_smits_batched(rgb_e, lam)
+            Le_here = _sp.rgb_to_spectrum_smits_batched(rgb_e, c.lam)
         else:
-            Le_here = Le_b
+            Le_here = c.s_le
         contrib_e = betap * sa * Le_here / jnp.maximum(r_e_avg, 1e-30)[:, None]
         emit_ok = col_m & (pdf_e > 0) & (r_e_avg > 0) & (c.depth < max_depth)
         L_acc = c.L + jnp.where(emit_ok[:, None], contrib_e, 0.0)
@@ -393,7 +552,7 @@ def li(
         # =========== MAIN-PATH SEGMENT END (pc == MARCH) ===========
         esc_m = c.seg_escaped & (c.pc == PC_MARCH)
         # residual T_maj / T_maj[0]
-        T_res = jnp.exp(-sigma_t * c.dl_since[:, None])
+        T_res = jnp.exp(-c.s_t * c.dl_since[:, None])
         f_res = T_res / jnp.maximum(sg(T_res[:, 0:1]), 1e-30)
         beta = jnp.where(esc_m[:, None], beta * f_res, beta)
         r_u = sg(jnp.where(esc_m[:, None], r_u * f_res, r_u))
@@ -407,7 +566,7 @@ def li(
             to_sky = esc_m
 
         # sky: infinite lights with MIS (volpath escape branch)
-        Le_inf, pdf_inf = lights_mod.escaped_radiance(lights, c.d_main, lam)
+        Le_inf, pdf_inf = lights_mod.escaped_radiance(lights, c.d_main, c.lam)
         first = c.depth == 0
         denom_first = jnp.mean(r_u, axis=-1)
         denom_mis = jnp.mean(r_u + r_l * pdf_inf[:, None], axis=-1)
@@ -417,6 +576,8 @@ def li(
 
         # surface shading setup
         if has_surf:
+            albedos, emissions = (_mat_const if regen is None
+                                  else eval_materials(c.lam))
             p_hit = c.so + c.t_surf[:, None] * c.sd
             wo_s = -c.d_main
             mid = jnp.clip(c.mat_id, 0, len(opaque) - 1)
@@ -455,7 +616,7 @@ def li(
         else:
             p_vertex = p_scat
         ls, is_delta = lights_mod.sample_one_light(
-            lights, p_vertex, u1, jnp.stack([u2a, u2b], -1), lam
+            lights, p_vertex, u1, jnp.stack([u2a, u2b], -1), c.lam
         )
         f_hat = phase_ops.hg_phase(wo, ls.wi, g)   # differentiable in g
         f_hat_d = sg(phase_ops.hg_phase(wo, ls.wi, g_samp))  # pdf role
@@ -580,14 +741,15 @@ def li(
         pc = pc.astype(jnp.int32)
 
         # =========== null continuation: fresh tau target in place ===========
+        st0 = sg(c.s_t[:, 0])
         rng, u_n = pcg_uniform_masked(rng, is_null & ~dead_null)
         u_n = jnp.minimum(u_n, ONE_MINUS_EPSILON)
-        dl_new = jnp.where(sigma_t0 > 0,
-                           -jnp.log1p(-u_n) / jnp.maximum(sigma_t0, 1e-30), jnp.inf)
+        dl_new = jnp.where(st0 > 0,
+                           -jnp.log1p(-u_n) / jnp.maximum(st0, 1e-30), jnp.inf)
         rng, u_n2 = pcg_uniform_masked(rng, col_s & ~shadow_dead)
         u_n2 = jnp.minimum(u_n2, ONE_MINUS_EPSILON)
-        dl_new2 = jnp.where(sigma_t0 > 0,
-                            -jnp.log1p(-u_n2) / jnp.maximum(sigma_t0, 1e-30), jnp.inf)
+        dl_new2 = jnp.where(st0 > 0,
+                            -jnp.log1p(-u_n2) / jnp.maximum(st0, 1e-30), jnp.inf)
         dl_target = jnp.where(is_null & ~dead_null, dl_new,
                               jnp.where(col_s & ~shadow_dead, dl_new2, c.dl_target))
         dl_since = jnp.where(col_any, 0.0, c.dl_since)
@@ -622,6 +784,62 @@ def li(
                                   need_main=need_march)
         return c2
 
+    def retire_respawn(c: _Regs) -> _Regs:
+        """Regen mode: splat retiring lanes to the film and refill them with
+        the next unissued work items (the wavefront queue-refill stage)."""
+        done = (c.pc == PC_DONE) & (c.work >= 0)
+        swl = _spu.SampledWavelengths(c.lam, c.lam_pdf)
+        rgb = _cspace.xyz_to_rgb(_spu.to_xyz(c.L, swl))
+        m = jnp.max(rgb, axis=-1)
+        clamp = jnp.where(m > R_maxc, R_maxc / jnp.maximum(m, 1e-24), 1.0)
+        rgb = jnp.nan_to_num(rgb * clamp[:, None],
+                             nan=0.0, posinf=0.0, neginf=0.0)
+        p_idx = (c.work % R_HW).astype(jnp.int32)
+        tgt = jnp.where(done, p_idx, R_HW)
+        ch_off = jnp.arange(3, dtype=jnp.int32) * (R_HW + 1)   # channel-major
+        tgt3 = (tgt[:, None] + ch_off).reshape(-1)
+        film_rgb = c.film_rgb.at[tgt3].add(
+            jnp.where(done[:, None], rgb, 0.0).reshape(-1))
+
+        # issue the next work items to retiring lanes (rank-ordered)
+        rank = jnp.cumsum(done.astype(jnp.int32)) - 1
+        new_work = c.cursor + rank
+        can = done & (new_work < R_total)
+        o2, d2, lam2, pdf2, rng2, _ = spawn(
+            jnp.where(can, new_work, 0).astype(jnp.int32))
+        s_t2, s_a2, s_s2, s_le2 = spectra_for(lam2)
+        sel = can[:, None]
+        one_s = jnp.ones((N, LANES), f32)
+        c = c._replace(
+            pc=jnp.where(can, PC_MARCH, c.pc).astype(jnp.int32),
+            depth=jnp.where(can, 0, c.depth),
+            rng=jnp.where(can, rng2, c.rng),
+            lam=jnp.where(sel, lam2, c.lam),
+            lam_pdf=jnp.where(sel, pdf2, c.lam_pdf),
+            s_t=jnp.where(sel, s_t2, c.s_t),
+            s_a=jnp.where(sel, s_a2, c.s_a),
+            s_s=jnp.where(sel, s_s2, c.s_s),
+            s_le=jnp.where(sel, s_le2, c.s_le),
+            d_main=jnp.where(sel, d2, c.d_main),
+            at_surface=jnp.where(can, False, c.at_surface),
+            L=jnp.where(sel, 0.0, c.L),
+            beta=jnp.where(sel, one_s, c.beta),
+            r_u=jnp.where(sel, one_s, c.r_u),
+            r_l=jnp.where(sel, one_s, c.r_l),
+            T_ray=jnp.where(sel, one_s, c.T_ray),
+            r_l_s=jnp.where(sel, one_s, c.r_l_s),
+            r_u_s=jnp.where(sel, one_s, c.r_u_s),
+            work=jnp.where(can, new_work,
+                           jnp.where(done, -1, c.work)).astype(jnp.int32),
+            cursor=jnp.minimum(
+                c.cursor + jnp.sum(done, dtype=jnp.int32),
+                jnp.int32(R_total)),
+            film_rgb=film_rgb,
+        )
+        c, _ = init_segment(o2, d2, jnp.full((N,), jnp.inf, f32), c.rng,
+                            can, c, need_main=can)
+        return c
+
     def cond(c: _Regs):
         return jnp.any(c.pc != PC_DONE) & (c.n_steps < max_march_steps)
 
@@ -630,13 +848,33 @@ def li(
         # hit their collision target early in the window idle (reached flag)
         # until the block processes them — pure scheduling, no estimator
         # change (events are per-ray independent).
-        for _ in range(k_substeps):
-            c = substep(c)
-        c = jax.lax.cond(
-            jnp.any((c.reached | c.seg_escaped) & (c.pc != PC_DONE)),
-            handle_events, lambda x: x, c,
-        )
+        #
+        # The event/retire blocks run UNCONDITIONALLY (masked): wrapping them
+        # in lax.cond makes XLA stream every cond operand — including the
+        # full density grid and film — through copy-start/copy-done pairs on
+        # each invocation, which profiling showed dominated the loop; with
+        # k_substeps ~ the mean collision interval, events are pending almost
+        # every iteration anyway.
+        c = block_substep(c, k_substeps)
+        c = handle_events(c)
+        if regen is not None:
+            c = retire_respawn(c)
         return c._replace(n_steps=c.n_steps + 1)
+
+    if record_alive:
+        hist0 = jnp.zeros((max_march_steps,), jnp.int32)
+
+        def body_h(carry):
+            c, hist = carry
+            hist = hist.at[c.n_steps].set(jnp.sum(c.pc != PC_DONE, dtype=jnp.int32))
+            return body(c), hist
+
+        def cond_h(carry):
+            return cond(carry[0])
+
+        end, hist = jax.lax.while_loop(cond_h, body_h, (regs, hist0))
+        return LiResult(L=end.L, rng=end.rng, alive_hist=hist,
+                        film_rgb=end.film_rgb if regen is not None else None)
 
     if fixed_steps is None:
         end = jax.lax.while_loop(cond, body, regs)
@@ -647,4 +885,6 @@ def li(
             return body(c), None
 
         end, _ = jax.lax.scan(scan_body, regs, None, length=fixed_steps)
+    if regen is not None:
+        return LiResult(L=end.L, rng=end.rng, film_rgb=end.film_rgb)
     return LiResult(L=end.L, rng=end.rng)

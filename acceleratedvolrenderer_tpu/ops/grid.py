@@ -17,73 +17,60 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_CORNERS = np.array(
+    [(ox, oy, oz) for oz in (0, 1) for oy in (0, 1) for ox in (0, 1)],
+    np.int32)  # (8, 3)
+
+
+def _corner_indices(p_unit, nx, ny, nz):
+    """Shared corner-tap setup: flat indices + trilinear weights.
+
+    Returns (flat (..., 8) int32 into the z-major flattened grid,
+    w (..., 8) float32 weights with out-of-range taps zeroed)."""
+    n = jnp.asarray([nx, ny, nz], jnp.float32)
+    ps = p_unit * n - 0.5
+    pi = jnp.floor(ps)
+    d = (ps - pi).astype(jnp.float32)
+    pi = pi.astype(jnp.int32)
+    cx = pi[..., None, 0] + _CORNERS[:, 0]       # (..., 8)
+    cy = pi[..., None, 1] + _CORNERS[:, 1]
+    cz = pi[..., None, 2] + _CORNERS[:, 2]
+    inside = ((cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
+              & (cz >= 0) & (cz < nz))
+    flat = ((jnp.clip(cz, 0, nz - 1) * ny + jnp.clip(cy, 0, ny - 1)) * nx
+            + jnp.clip(cx, 0, nx - 1))
+    wx = jnp.where(_CORNERS[:, 0] == 1, d[..., None, 0], 1.0 - d[..., None, 0])
+    wy = jnp.where(_CORNERS[:, 1] == 1, d[..., None, 1], 1.0 - d[..., None, 1])
+    wz = jnp.where(_CORNERS[:, 2] == 1, d[..., None, 2], 1.0 - d[..., None, 2])
+    w = jnp.where(inside, wx * wy * wz, 0.0)
+    return flat, w
+
+
 def trilerp(grid, p_unit):
     """Trilinearly interpolate `grid` ((nz, ny, nx) array) at continuous
     [0,1]^3 coordinates p_unit (..., 3) given as (x, y, z).
 
     Sample positions follow pbrt: pSamples = p * n - 0.5 (voxel centers at
     (i + 0.5) / n).  Out-of-range taps contribute 0.
+
+    All 8 corner taps go through ONE flattened gather — XLA:TPU charges a
+    large fixed cost per gather fusion, so one (..., 8) gather beats eight
+    separate (...,) gathers in the fused march loop.
     """
     nz, ny, nx = grid.shape
-    n = jnp.asarray([nx, ny, nz], grid.dtype)
-    ps = p_unit * n - 0.5
-    pi = jnp.floor(ps)
-    d = ps - pi
-    pi = pi.astype(jnp.int32)
-
-    def tap(ox, oy, oz):
-        ix = pi[..., 0] + ox
-        iy = pi[..., 1] + oy
-        iz = pi[..., 2] + oz
-        inside = (
-            (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & (iz >= 0) & (iz < nz)
-        )
-        ixc = jnp.clip(ix, 0, nx - 1)
-        iyc = jnp.clip(iy, 0, ny - 1)
-        izc = jnp.clip(iz, 0, nz - 1)
-        v = grid[izc, iyc, ixc]
-        return jnp.where(inside, v, 0.0)
-
-    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
-    c00 = tap(0, 0, 0) * (1 - dx) + tap(1, 0, 0) * dx
-    c10 = tap(0, 1, 0) * (1 - dx) + tap(1, 1, 0) * dx
-    c01 = tap(0, 0, 1) * (1 - dx) + tap(1, 0, 1) * dx
-    c11 = tap(0, 1, 1) * (1 - dx) + tap(1, 1, 1) * dx
-    c0 = c00 * (1 - dy) + c10 * dy
-    c1 = c01 * (1 - dy) + c11 * dy
-    return c0 * (1 - dz) + c1 * dz
+    flat, w = _corner_indices(p_unit, nx, ny, nz)
+    v = jnp.take(grid.reshape(-1), flat, axis=0)
+    return jnp.sum(v.astype(jnp.float32) * w, axis=-1)
 
 
 def trilerp_vec(grid, p_unit):
     """Trilerp for a grid with trailing channel axis (nz, ny, nx, C) ->
-    (..., C). Used by RGB-coefficient media."""
-    nz, ny, nx, _ = grid.shape
-    n = jnp.asarray([nx, ny, nz], jnp.float32)
-    ps = p_unit * n - 0.5
-    pi = jnp.floor(ps)
-    d = ps - pi
-    pi = pi.astype(jnp.int32)
-
-    def tap(ox, oy, oz):
-        ix = pi[..., 0] + ox
-        iy = pi[..., 1] + oy
-        iz = pi[..., 2] + oz
-        inside = (
-            (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & (iz >= 0) & (iz < nz)
-        )
-        v = grid[jnp.clip(iz, 0, nz - 1), jnp.clip(iy, 0, ny - 1), jnp.clip(ix, 0, nx - 1)]
-        return jnp.where(inside[..., None], v, 0.0)
-
-    dx = d[..., 0:1]
-    dy = d[..., 1:2]
-    dz = d[..., 2:3]
-    c00 = tap(0, 0, 0) * (1 - dx) + tap(1, 0, 0) * dx
-    c10 = tap(0, 1, 0) * (1 - dx) + tap(1, 1, 0) * dx
-    c01 = tap(0, 0, 1) * (1 - dx) + tap(1, 0, 1) * dx
-    c11 = tap(0, 1, 1) * (1 - dx) + tap(1, 1, 1) * dx
-    c0 = c00 * (1 - dy) + c10 * dy
-    c1 = c01 * (1 - dy) + c11 * dy
-    return c0 * (1 - dz) + c1 * dz
+    (..., C). Used by RGB-coefficient media.  Single-gather form, like
+    trilerp."""
+    nz, ny, nx, C = grid.shape
+    flat, w = _corner_indices(p_unit, nx, ny, nz)
+    v = jnp.take(grid.reshape(-1, C), flat, axis=0)   # (..., 8, C)
+    return jnp.sum(v.astype(jnp.float32) * w[..., None], axis=-2)
 
 
 def max_value_range(density: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> float:

@@ -30,25 +30,25 @@ def main():
     width, height = 1280, 720
     bench_spp = 2
 
+    import jax.numpy as jnp
+
     scene = presets.cloud(width=width, height=height, spp=bench_spp, max_depth=16)
     scene.max_march_steps = 4096
-    render_wave, density, majorant = render_mod.make_wave_renderer(scene)
+    # path-regeneration renderer: one fused kernel per frame x spp batch
+    run, density, majorant = render_mod.make_regen_renderer(scene, spp=bench_spp)
 
-    from acceleratedvolrenderer_tpu.models.film import Film
-
+    film0 = jnp.zeros((3 * (height * width + 1),))
     # warmup / compile
-    film = Film.create(height, width)
-    film = render_wave(film, density, majorant, np.uint32(1000))
+    film = run(density, majorant, film0)
     jax.block_until_ready(film)
 
-    film = Film.create(height, width)
     t0 = time.time()
-    for s in range(bench_spp):
-        film = render_wave(film, density, majorant, np.uint32(s))
+    film = run(density, majorant, jnp.zeros((3 * (height * width + 1),)))
     jax.block_until_ready(film)
     dt = time.time() - t0
 
-    img = np.asarray(film.to_image())
+    img = (np.asarray(film).reshape(3, height * width + 1)[:, :height * width].T
+           / float(bench_spp)).reshape(height, width, 3).astype(np.float32)
     rays = width * height * bench_spp
     mrays_per_s = rays / dt / 1e6
 

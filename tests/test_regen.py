@@ -1,0 +1,39 @@
+"""Path-regeneration renderer: must reproduce the chunked wave driver's
+estimates exactly (same per-(pixel,sample) RNG streams; only the film
+accumulation order differs)."""
+import numpy as np
+
+from acceleratedvolrenderer_tpu.parallel import render as render_mod
+from acceleratedvolrenderer_tpu.scene import presets
+
+
+def _compare(scene, tol=2e-4):
+    ref, _ = render_mod.render(scene)
+    img, _ = render_mod.render_regen(scene, n_lanes=1024)
+    assert np.all(np.isfinite(img))
+    err = np.max(np.abs(img - ref)) / max(float(np.abs(ref).max()), 1e-6)
+    assert err < tol, err
+    return img
+
+
+def test_regen_matches_chunked_fog_box():
+    _compare(presets.fog_box(res=24, spp=4))
+
+
+def test_regen_matches_chunked_cloud():
+    sc = presets.cloud(width=32, height=24, spp=3, max_depth=8, grid_res=48)
+    sc.max_march_steps = 3000
+    _compare(sc)
+
+
+def test_regen_matches_chunked_emissive():
+    sc = presets.emissive_volume(res=24, spp=2)
+    _compare(sc)
+
+
+def test_regen_lane_count_invariance():
+    """The estimate must not depend on the lane-batch width."""
+    sc = presets.fog_box(res=16, spp=4)
+    a, _ = render_mod.render_regen(sc, n_lanes=256)
+    b, _ = render_mod.render_regen(sc, n_lanes=1024)
+    assert np.allclose(a, b, atol=2e-5)
