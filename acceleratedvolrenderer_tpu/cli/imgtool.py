@@ -27,6 +27,7 @@ def _load(path):
 
 
 def cmd_diff(args):
+    from ..utils.flip import flip_mean
     from ..utils.image import mae, mrse, mse
 
     a, _ = _load(args.image)
@@ -38,6 +39,7 @@ def cmd_diff(args):
         "MSE": mse(a, b),
         "MRSE": mrse(a, b),
         "L1": mae(a, b),
+        "FLIP": flip_mean(b, a),
     }
     print(json.dumps(out))
     if args.outfile:
@@ -143,7 +145,8 @@ def main(argv=None):
     d.add_argument("image")
     d.add_argument("reference")
     d.add_argument("--outfile", default=None, help="write |a-b| EXR")
-    d.add_argument("--metric", choices=["MSE", "MRSE", "L1"], default=None)
+    d.add_argument("--metric", choices=["MSE", "MRSE", "L1", "FLIP"],
+                   default=None)
     d.add_argument("--threshold", type=float, default=None)
     d.set_defaults(fn=cmd_diff)
 

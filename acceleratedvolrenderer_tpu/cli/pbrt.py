@@ -25,7 +25,11 @@ def main(argv=None):
     ap.add_argument("--integrator", default=None,
                     help="volpath (default) | simplevolpath | graph | path | "
                          "simplepath | randomwalk | ao | lightpath | mlt | "
-                         "bdpt | sppm")
+                         "bdpt | sppm | function | analyzer")
+    ap.add_argument("--function", default="step",
+                    help="2D test function for --integrator function")
+    ap.add_argument("--analyze-pixels", default=None,
+                    help='pixels for --integrator analyzer, "x,y;x,y;..."')
     ap.add_argument("--lightsampler", default=None, help="uniform | power")
     ap.add_argument("--regularize", action="store_true",
                     help="widen near-specular BSDFs after the first bounce")
@@ -110,6 +114,39 @@ def main(argv=None):
         from ..models.integrators import sppm as sppm_mod
 
         img, stats = sppm_mod.render_sppm(scene)
+    elif args.integrator == "function":
+        import time as _time
+
+        from ..models.integrators import function as func_mod
+
+        t0 = _time.time()
+        est, curve = func_mod.render_function(
+            args.function, width=scene.width, height=scene.height,
+            spp=scene.spp, sampler=scene.sampler, seed=scene.seed)
+        func_mod.write_mse_file(f"{args.function}-mse.txt", curve)
+        img = est[:, :, None].repeat(3, axis=2)
+        stats = {"render_time": _time.time() - t0, "spp": scene.spp,
+                 "rays_per_sec": 0.0, "mse_curve": curve}
+    elif args.integrator == "analyzer":
+        import time as _time
+
+        from ..graph import analyzer as analyzer_mod
+        from ..graph.model import Graph
+
+        assert args.graph_data, "--integrator analyzer requires --graph-data"
+        graph = (Graph.read_npz(args.graph_data)
+                 if args.graph_data.endswith(".npz")
+                 else Graph.read_text(args.graph_data))
+        pixels = ([(scene.width // 2, scene.height // 2)]
+                  if not args.analyze_pixels else
+                  [tuple(map(int, p.split(","))) for p in
+                   args.analyze_pixels.split(";")])
+        t0 = _time.time()
+        res = analyzer_mod.analyze(scene, graph, pixels, spp=scene.spp)
+        print(res)
+        stats = {"render_time": _time.time() - t0, "spp": scene.spp,
+                 "rays_per_sec": 0.0, "analysis": str(res)}
+        img = None
     elif args.integrator == "mlt":
         from ..models.integrators import mlt as mlt_mod
 
@@ -121,6 +158,11 @@ def main(argv=None):
         if args.integrator is not None:
             scene.integrator = args.integrator
         img, stats = render_mod.render(scene)
+
+    if img is None:   # analysis-only integrators write no image
+        if args.stats:
+            print(json.dumps(stats))
+        return 0
 
     mse_val = None
     if args.mse_reference_image:

@@ -60,6 +60,7 @@ from ...ops.dda import (
     world_to_medium,
 )
 from ...ops import grid as gridops
+from ...ops import pallas_gather
 from ...ops import warps
 from ...utils import vecmath as vmu
 from ...utils.math import ONE_MINUS_EPSILON
@@ -406,7 +407,7 @@ def li(
         # ---- ONE majorant gather over the window ----
         vc = jnp.clip(v_stack, 0, maj_res_i - 1)
         flat = (vc[..., 2] * ry + vc[..., 1]) * rx + vc[..., 0]
-        maj = sg(jnp.take(maj_flat, flat, axis=0))          # (N, K)
+        maj = sg(pallas_gather.table_gather(maj_flat, flat))  # (N, K)
 
         # ---- closed-form free-flight resolution ----
         # maj > 0 gate avoids 0*inf = NaN on unbounded final segments;

@@ -66,7 +66,13 @@ def cloud(width=1280, height=720, spp=16, max_depth=40, grid_res=256,
         density=density,
         bounds_lo=np.array([-half, -half, -half], np.float32),
         bounds_hi=np.array([half, half, half], np.float32),
-        majorant_res=(64, 64, 64),   # NanoVDB-scale grids use 64^3 (media.cpp:521)
+        # majorant resolution is a perf knob, not semantics (the estimator
+        # is unbiased for any majorant >= density).  Reference: 16^3 for
+        # GridMedium (media.cpp:229), 64^3 for NanoVDB (media.cpp:521).
+        # 32^3 measured fastest on TPU: small enough that XLA's per-
+        # iteration VMEM staging of the table is ~free, tight enough to
+        # keep null-collision counts low.
+        majorant_res=(32, 32, 32),
     )
     # camera from disney-cloud-720p.exr worldToCamera metadata
     w2c = np.array([
