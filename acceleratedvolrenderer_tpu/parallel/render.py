@@ -463,3 +463,76 @@ def render_with_aovs(scene, spp=None):
         "relative_variance": var / (img.astype(np.float64) ** 2 + 1e-4),
     }
     return img, aovs, {"render_time": dt, "spp": spp}
+
+
+def render_gbuffer(scene, spp: Optional[int] = None):
+    """Geometric AOVs from the first camera-ray surface interaction
+    (GBufferFilm channels, film.h:319: P, N/Ns, uv, albedo, plus depth).
+
+    Purely geometric — one batched intersect over the opaque primitive
+    list; volumetric scenes with no surfaces return inf depth / zeros.
+    Combine with render_with_aovs for the variance channels.
+    """
+    from ..models import materials as materials_mod
+    from ..models import shapes as shapes_mod
+    from ..models.integrators.path import _gather_mat_params, _take
+
+    H, W = scene.height, scene.width
+    cam = scene.camera
+    opaque = tuple(p for p in scene.primitives if p.material is not None)
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    pix = jnp.asarray(np.stack([xs.reshape(-1), ys.reshape(-1)], -1),
+                      jnp.int32)
+    N = H * W
+    t0 = time.time()
+    o, d = cam.generate_rays(pix, jnp.full((N, 2), 0.5), None)
+    if opaque:
+        hit = shapes_mod.intersect_all(opaque, o, d, jnp.inf)
+        lam = jnp.full((N, sp.N_SPECTRUM_SAMPLES), 550.0)
+        prm = _gather_mat_params(opaque, lam, hit.uv, N)
+        mid = jnp.clip(hit.prim_id, 0, len(opaque) - 1)
+        alb_spec = _take(jnp.asarray(prm["albedo"]), mid)
+        from ..utils import colorspace as cspace
+
+        swl = sp.SampledWavelengths(lam, jnp.ones_like(lam))
+        found = jnp.isfinite(hit.t)
+        p_hit = jnp.where(found[:, None], o + hit.t[:, None] * d, 0.0)
+        n_hit = jnp.where(found[:, None], hit.n, 0.0)
+        # mean albedo over the hero wavelengths as displayable RGB
+        alb = jnp.where(found[:, None], alb_spec, 0.0)
+        alb_rgb = cspace.xyz_to_rgb(sp.to_xyz(alb * sp.CIE_Y_INTEGRAL, swl))
+        uv = jnp.where(found[:, None], hit.uv, 0.0)
+        depth = hit.t
+    else:
+        p_hit = jnp.zeros((N, 3))
+        n_hit = jnp.zeros((N, 3))
+        alb_rgb = jnp.zeros((N, 3))
+        uv = jnp.zeros((N, 2))
+        depth = jnp.full((N,), jnp.inf)
+    aovs = {
+        "P": np.asarray(p_hit).reshape(H, W, 3),
+        "N": np.asarray(n_hit).reshape(H, W, 3),
+        "albedo": np.asarray(jnp.clip(alb_rgb, 0, None)).reshape(H, W, 3),
+        "uv": np.asarray(uv).reshape(H, W, 2),
+        "depth": np.asarray(depth).reshape(H, W),
+    }
+    return aovs, {"render_time": time.time() - t0}
+
+
+def render_spectral(scene, spp: Optional[int] = None, n_buckets: int = 16):
+    """Render into a SpectralFilm (film.h:401): RGB + per-wavelength-bucket
+    channel images.  Uses the chunked wave driver with the bucketing film.
+    """
+    from ..models.film import SpectralFilm
+
+    spp = spp if spp is not None else scene.spp
+    H, W = scene.height, scene.width
+    render_wave, density, majorant = make_wave_renderer(scene)
+    film = SpectralFilm.create(H, W, n_buckets=n_buckets)
+    t0 = time.time()
+    for s in range(spp):
+        film = render_wave(film, density, majorant, jnp.uint32(s))
+    jax.block_until_ready(film.rgb_sum)
+    dt = time.time() - t0
+    return film, {"render_time": dt, "spp": spp,
+                  "rays_per_sec": H * W * spp / dt}
