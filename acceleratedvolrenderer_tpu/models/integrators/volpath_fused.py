@@ -274,14 +274,20 @@ def li(
         R_cam, R_filt = regen["camera"], regen["filter"]
         R_kind, R_seed = regen["sampler"], regen["seed"]
         R_maxc = regen.get("max_component", jnp.inf)
+        # sharded operation: local work ids offset into the global queue
+        # (per-device slice under shard_map); items past the global end
+        # splat to the discard slot
+        R_base = regen.get("work_base", jnp.int32(0))
+        R_gtotal = regen.get("global_total", R_total)
 
         def spawn(work):
             """Camera ray + wavelengths + rng stream for work items.
 
             Streams match the chunked driver exactly: film_sample keyed by
             (pixel, sample), wavelength draw from the advanced stream."""
-            s_idx = (work // R_HW).astype(jnp.uint32)
-            p_idx = (work % R_HW).astype(jnp.uint32)
+            gw = work + R_base
+            s_idx = (gw // R_HW).astype(jnp.uint32)
+            p_idx = (gw % R_HW).astype(jnp.uint32)
             x = (p_idx % R_W).astype(jnp.int32)
             y = (p_idx // R_W).astype(jnp.int32)
             pixxy = jnp.stack([x, y], -1)
@@ -795,8 +801,9 @@ def li(
         clamp = jnp.where(m > R_maxc, R_maxc / jnp.maximum(m, 1e-24), 1.0)
         rgb = jnp.nan_to_num(rgb * clamp[:, None],
                              nan=0.0, posinf=0.0, neginf=0.0)
-        p_idx = (c.work % R_HW).astype(jnp.int32)
-        tgt = jnp.where(done, p_idx, R_HW)
+        gw = c.work + R_base
+        p_idx = (gw % R_HW).astype(jnp.int32)
+        tgt = jnp.where(done & (gw < R_gtotal), p_idx, R_HW)
         ch_off = jnp.arange(3, dtype=jnp.int32) * (R_HW + 1)   # channel-major
         tgt3 = (tgt[:, None] + ch_off).reshape(-1)
         film_rgb = c.film_rgb.at[tgt3].add(

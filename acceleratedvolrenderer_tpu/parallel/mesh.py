@@ -189,3 +189,128 @@ def render_sharded(scene, mesh: Optional[Mesh] = None, spp: Optional[int] = None
     return img, {"render_time": dt, "spp": spp,
                  "rays_per_sec": H * W * spp / dt,
                  "n_devices": int(np.prod(mesh.devices.shape))}
+
+
+def make_sharded_regen_renderer(scene, mesh: Mesh, *, n_lanes: int = 4096,
+                                spp: Optional[int] = None,
+                                k_substeps: int = 16,
+                                axis_name: str = "rays"):
+    """Sharded path-regeneration renderer: each device runs the fused regen
+    kernel over its contiguous slice of the global (pixel, sample) work
+    queue; per-device films psum over ICI at the end.
+
+    RNG streams are keyed by global (pixel, sample), so the estimate is
+    bitwise independent of the device count — only film-add ordering
+    (float ulps) differs.  This is the production multi-chip path; the
+    chunked make_sharded_wave_renderer remains for film variants.
+    """
+    from jax import shard_map
+
+    from ..models.integrators import volpath_fused as volpath
+    from ..ops import dda
+    from ..utils import spectrum as sp
+
+    cam = scene.camera
+    H, W = cam.height, cam.width
+    spp = spp if spp is not None else scene.spp
+    med_spec = scene.medium
+    assert med_spec is not None, "regen renderer requires a medium"
+    homogeneous = med_spec.homogeneous
+    maj_res = med_spec.maj_res()
+    LANES = sp.N_SPECTRUM_SAMPLES
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    global_total = H * W * spp
+    per_dev = (global_total + n_dev - 1) // n_dev
+    N = int(min(n_lanes, per_dev))
+
+    if not homogeneous:
+        density_const = jnp.asarray(med_spec.density, jnp.float32)
+        majorant_const = jnp.asarray(med_spec.build_majorant())
+    else:
+        density_const = jnp.ones((1, 1, 1), jnp.float32)
+        majorant_const = jnp.ones((1, 1, 1), jnp.float32)
+
+    def sigma_a_fn(lam):
+        return med_spec.sigma_a_spec(lam) * med_spec.scale
+
+    def sigma_s_fn(lam):
+        return med_spec.sigma_s_spec(lam) * med_spec.scale
+
+    def Le_fn(lam):
+        return (med_spec.Le_spec(lam) * med_spec.Le_scale
+                if med_spec.Le_spec is not None else jnp.zeros_like(lam))
+
+    rgb_kw = {}
+    if med_spec.rgb:
+        rgb_kw = dict(
+            sigma_a_rgb=jnp.asarray(med_spec.sigma_a_rgb, jnp.float32) * med_spec.scale,
+            sigma_s_rgb=jnp.asarray(med_spec.sigma_s_rgb, jnp.float32) * med_spec.scale,
+            Le_rgb=(jnp.asarray(med_spec.Le_rgb, jnp.float32) * med_spec.Le_scale
+                    if med_spec.Le_rgb is not None else None),
+        )
+
+    refills = (per_dev + N - 1) // N
+    iter_cap = int(scene.max_march_steps) * (refills + 1)
+
+    def device_render(density, majorant):
+        dev = jax.lax.axis_index(axis_name)
+        med = dda.MediumArrays(
+            density=density, majorant=majorant,
+            w2m=jnp.asarray(med_spec.world_to_unit(), jnp.float32),
+            g=jnp.float32(med_spec.g),
+            sigma_a=jnp.zeros((LANES,)), sigma_s=jnp.zeros((LANES,)),
+            Le=jnp.zeros((LANES,)), **rgb_kw)
+        regen = dict(
+            camera=cam, filter=scene.filter, sampler=scene.sampler,
+            spp=spp, H=H, W=W, total_work=per_dev, seed=scene.seed,
+            work_base=(dev * per_dev).astype(jnp.int32),
+            global_total=jnp.int32(global_total),
+            sigma_a_fn=sigma_a_fn, sigma_s_fn=sigma_s_fn, Le_fn=Le_fn,
+            film_rgb=jnp.zeros((3 * (H * W + 1),)),
+            max_component=getattr(scene, "max_component", jnp.inf),
+        )
+        res = volpath.li(
+            med, scene.lights,
+            jnp.zeros((N, 3)), jnp.zeros((N, 3)),
+            jnp.zeros((N, LANES)), jnp.zeros((N,), jnp.uint32),
+            maj_res=maj_res, homogeneous=homogeneous,
+            max_depth=scene.max_depth, scene_radius=scene.scene_radius,
+            max_march_steps=iter_cap, rgb_mode=med_spec.rgb,
+            k_substeps=k_substeps,
+            prims=tuple(scene.primitives), regen=regen)
+        # the one cross-device reduction: film partials over ICI
+        return jax.lax.psum(res.film_rgb, axis_name)
+
+    smapped = shard_map(
+        device_render, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(density, majorant):
+        return smapped(density, majorant)
+
+    return run, density_const, majorant_const
+
+
+def render_sharded_regen(scene, mesh: Optional[Mesh] = None,
+                         spp: Optional[int] = None, n_lanes: int = 4096):
+    import time
+
+    mesh = mesh or make_mesh()
+    spp = spp if spp is not None else scene.spp
+    H, W = scene.height, scene.width
+    run, density, majorant = make_sharded_regen_renderer(
+        scene, mesh, n_lanes=n_lanes, spp=spp)
+    t0 = time.time()
+    film = run(density, majorant)
+    jax.block_until_ready(film)
+    dt = time.time() - t0
+    img = (np.asarray(film).reshape(3, H * W + 1)[:, :H * W].T
+           / float(spp)).reshape(H, W, 3).astype(np.float32)
+    return img, {"render_time": dt, "spp": spp,
+                 "rays_per_sec": H * W * spp / dt,
+                 "n_devices": int(np.prod(mesh.devices.shape))}

@@ -69,3 +69,20 @@ def test_sharded_matches_unsharded():
     img_s, _ = pmesh.render_sharded(scene)
     img_u, _ = render_mod.render(scene)
     np.testing.assert_allclose(img_s, img_u, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_regen_matches_single():
+    """Sharded regen renderer: image must match the single-device regen
+    render (RNG keyed by global (pixel, sample))."""
+    import numpy as np
+
+    from acceleratedvolrenderer_tpu.parallel import mesh as pmesh
+    from acceleratedvolrenderer_tpu.parallel import render as render_mod
+    from acceleratedvolrenderer_tpu.scene import presets
+
+    sc = presets.fog_box(res=16, spp=4)
+    ref, _ = render_mod.render_regen(sc, n_lanes=256)
+    m = pmesh.make_mesh(jax.devices()[:4])
+    img, stats = pmesh.render_sharded_regen(sc, m, n_lanes=64)
+    assert stats["n_devices"] == 4
+    assert np.allclose(img, ref, atol=3e-5), np.abs(img - ref).max()
