@@ -227,31 +227,47 @@ class FreeGraphBuilder:
         return graph
 
 
-def merge_paths_to_graph(pts: np.ndarray, valid: np.ndarray, radius: float) -> Graph:
-    """Voxel-hash vertex merge + edge accumulation.
+def merge_paths_to_graph(pts: np.ndarray, valid: np.ndarray, radius: float,
+                         exact: bool = True) -> Graph:
+    """Vertex merge + edge accumulation.
 
-    pts: (B, D, 3) scatter points; valid: (B, D).  Cell size = node radius
-    (replaces the reference's exact-radius KD merge,
-    free_graph_builder.cpp:99-117)."""
+    pts: (B, D, 3) scatter points; valid: (B, D).
+
+    exact=True (default, when the native library is built): sequential
+    nearest-within-radius merge — the reference's dynamic-KD-tree insertion
+    semantics exactly (free_graph_builder.cpp:99-117), via the C++ grid-
+    hash kernel (native.merge_points).  Fallback: voxel-hash quantization
+    (cell size = node radius), order-independent but cell-quantized."""
+    from .. import native
+
     B, D, _ = pts.shape
     flat = pts.reshape(-1, 3)
     vmask = valid.reshape(-1)
     if not vmask.any():
         return Graph(positions=np.zeros((0, 3), np.float32))
-    cell = np.floor(flat / radius).astype(np.int64)
-    key = (cell[:, 0] * 73856093) ^ (cell[:, 1] * 19349663) ^ (cell[:, 2] * 83492791)
-    key = np.where(vmask, key, np.int64(-(2 ** 62)))
-    uniq, inv = np.unique(key, return_inverse=True)
-    # index 0 of uniq may be the invalid sentinel
-    has_sentinel = uniq[0] == -(2 ** 62)
-    offset = 1 if has_sentinel else 0
-    Vn = uniq.size - offset
-    vid = inv - offset          # -1 for invalid
-    vw = np.bincount(vid[vmask], minlength=Vn).astype(np.float64)
-    pos = np.stack(
-        [np.bincount(vid[vmask], weights=flat[vmask, i], minlength=Vn) for i in range(3)],
-        -1,
-    ) / vw[:, None]
+    if exact and native.is_available():
+        vpts = flat[vmask]
+        labels, verts, counts = native.merge_points(vpts, radius)
+        Vn = len(verts)
+        vid = np.full(flat.shape[0], -1, np.int64)
+        vid[vmask] = labels
+        vw = counts.astype(np.float64)
+        pos = verts.astype(np.float64)
+    else:
+        cell = np.floor(flat / radius).astype(np.int64)
+        key = (cell[:, 0] * 73856093) ^ (cell[:, 1] * 19349663) ^ (cell[:, 2] * 83492791)
+        key = np.where(vmask, key, np.int64(-(2 ** 62)))
+        uniq, inv = np.unique(key, return_inverse=True)
+        # index 0 of uniq may be the invalid sentinel
+        has_sentinel = uniq[0] == -(2 ** 62)
+        offset = 1 if has_sentinel else 0
+        Vn = uniq.size - offset
+        vid = inv - offset          # -1 for invalid
+        vw = np.bincount(vid[vmask], minlength=Vn).astype(np.float64)
+        pos = np.stack(
+            [np.bincount(vid[vmask], weights=flat[vmask, i], minlength=Vn) for i in range(3)],
+            -1,
+        ) / vw[:, None]
 
     # edges: consecutive valid scatter events within a path
     vid2 = vid.reshape(B, D)
@@ -325,25 +341,35 @@ def merge_graphs(a: Graph, b: Graph, radius: float) -> Graph:
 def compute_search_ranges(positions: np.ndarray, k: int, smoothing_rounds: int,
                           edges: np.ndarray) -> np.ndarray:
     """Per-vertex mean distance to the k nearest neighbours, then smoothed
-    over graph neighbours (free_graph_builder.cpp:498-548).  Chunked
-    brute-force kNN on device — V is tens of thousands at most."""
+    over graph neighbours (free_graph_builder.cpp:498-548).  Uses the
+    native C++ KD-tree when built (nanoflann analogue); falls back to
+    chunked brute-force kNN on device."""
+    from .. import native
+
     V = positions.shape[0]
     if V == 0:
         return np.zeros((0,), np.float32)
     k_eff = min(k + 1, V)
-    pos = jnp.asarray(positions)
+    if native.is_available():
+        tree = native.KDTree(positions)
+        _, d2 = tree.knn(positions, k_eff)
+        d = np.sqrt(np.maximum(d2, 0.0))
+        sr = (d[:, 1:].mean(axis=1) if k_eff > 1
+              else np.zeros(V)).astype(np.float32)
+    else:
+        pos = jnp.asarray(positions)
 
-    def chunk_knn(chunk):
-        d2 = jnp.sum((chunk[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
-        neg, _ = jax.lax.top_k(-d2, k_eff)
-        d = jnp.sqrt(jnp.maximum(-neg, 0.0))
-        return jnp.mean(d[:, 1:], axis=1) if k_eff > 1 else jnp.zeros(chunk.shape[0])
+        def chunk_knn(chunk):
+            d2 = jnp.sum((chunk[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
+            neg, _ = jax.lax.top_k(-d2, k_eff)
+            d = jnp.sqrt(jnp.maximum(-neg, 0.0))
+            return jnp.mean(d[:, 1:], axis=1) if k_eff > 1 else jnp.zeros(chunk.shape[0])
 
-    out = []
-    cs = 2048
-    for i in range(0, V, cs):
-        out.append(np.asarray(chunk_knn(pos[i: i + cs])))
-    sr = np.concatenate(out).astype(np.float32)
+        out = []
+        cs = 2048
+        for i in range(0, V, cs):
+            out.append(np.asarray(chunk_knn(pos[i: i + cs])))
+        sr = np.concatenate(out).astype(np.float32)
 
     # smooth over graph neighbours
     for _ in range(smoothing_rounds):
