@@ -105,3 +105,51 @@ def test_pbrt_cli_render_scene_file(tmp_path, capsys):
     assert img.shape == (8, 8, 3)
     assert attrs["samplesPerPixel"] == 2
     assert img.mean() > 0.1
+
+
+def test_nanovdb2pbrt_roundtrip(tmp_path):
+    """Converter output parses back through the .pbrt parser into the same
+    grid (the reference's VDB -> uniformgrid ingestion route)."""
+    import numpy as np
+
+    from acceleratedvolrenderer_tpu.cli import nanovdb2pbrt as conv
+    from acceleratedvolrenderer_tpu.scene import parser as parser_mod
+
+    rng = np.random.default_rng(0)
+    dens = rng.random((4, 3, 2)).astype(np.float32)
+    src = tmp_path / "d.npz"
+    np.savez(src, density=dens)
+    out = tmp_path / "grid.txt"
+    rc = conv.main([str(src), "--p0=-1,-1,-1", "--p1", "1,2,3",
+                    "-o", str(out)])
+    assert rc == 0
+    scene_txt = (
+        'Camera "perspective" "float fov" [40]\n'
+        'Film "rgb" "integer xresolution" [8] "integer yresolution" [8]\n'
+        "WorldBegin\n"
+        'MakeNamedMedium "cl" "string type" "uniformgrid"\n'
+        + out.read_text() +
+        'AttributeBegin\n'
+        'MediumInterface "cl" ""\n'
+        'Shape "sphere" "float radius" [1]\n'
+        'AttributeEnd\n'
+    )
+    sf = tmp_path / "s.pbrt"
+    sf.write_text(scene_txt)
+    scene = parser_mod.load_scene(str(sf))
+    med = scene.medium
+    assert med is not None
+    assert med.density.shape == (4, 3, 2)
+    assert np.allclose(med.density, dens, atol=1e-5)
+    assert np.allclose(med.bounds_lo, [-1, -1, -1])
+
+
+def test_nanovdb2pbrt_downsample(tmp_path):
+    import numpy as np
+
+    from acceleratedvolrenderer_tpu.cli.nanovdb2pbrt import downsample2
+
+    a = np.arange(8, dtype=np.float32).reshape(2, 2, 2)
+    d = downsample2(a)
+    assert d.shape == (1, 1, 1)
+    assert abs(float(d) - a.mean()) < 1e-6
