@@ -30,7 +30,8 @@ def main(argv=None):
                     help="2D test function for --integrator function")
     ap.add_argument("--analyze-pixels", default=None,
                     help='pixels for --integrator analyzer, "x,y;x,y;..."')
-    ap.add_argument("--lightsampler", default=None, help="uniform | power")
+    ap.add_argument("--lightsampler", default=None,
+                    help="uniform | power | bvh")
     ap.add_argument("--regularize", action="store_true",
                     help="widen near-specular BSDFs after the first bounce")
     ap.add_argument("--graph-data", default=None,

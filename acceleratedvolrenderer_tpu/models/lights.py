@@ -384,6 +384,83 @@ def light_power(lt) -> float:
     return 1.0
 
 
+
+
+def _light_center(lt):
+    """Representative position for adaptive (BVH-style) importance."""
+    if hasattr(lt, "position"):
+        return np.asarray(lt.position, np.float32)
+    shape = getattr(lt, "shape", None)
+    if shape is not None:
+        if hasattr(shape, "center"):
+            return np.asarray(shape.center, np.float32)
+        if hasattr(shape, "origin"):
+            o = np.asarray(shape.origin, np.float32)
+            e1 = np.asarray(getattr(shape, "e1", 0.0), np.float32)
+            e2 = np.asarray(getattr(shape, "e2", 0.0), np.float32)
+            return o + 0.5 * e1 + 0.5 * e2
+    return np.zeros(3, np.float32)
+
+
+def _adaptive_pmfs(lights: List, p):
+    """Per-point light pmfs — the BVHLightSampler capability
+    (lightsamplers.h:260) computed exactly instead of via tree descent.
+
+    The reference builds a BVH over LightBounds (center, power, orientation
+    cone) and descends it per shading point to approximate importance
+    ~ phi * cos(theta') / d^2 in O(log K) scalar work.  On TPU the whole
+    K-vector of importances is one vectorized expression per point, so the
+    approximation step is unnecessary: pmf_i(p) is the normalized exact
+    importance, with the reference's pInfinite split for infinite lights
+    (lightsamplers.h:267-277).  Returns (N, K) pmfs.
+    """
+    n = p.shape[0]
+    k = len(lights)
+    inf_mask = np.asarray([lt.is_infinite for lt in lights])
+    n_inf = int(inf_mask.sum())
+    n_fin = k - n_inf
+    p_infinite = n_inf / (n_inf + (1 if n_fin else 0)) if k else 0.0
+    imps = []
+    for lt in lights:
+        if lt.is_infinite:
+            imps.append(jnp.zeros((n,)))
+            continue
+        phi = light_power(lt)
+        if isinstance(lt, DistantLight):
+            # unbounded direction light: constant importance (no distance)
+            imps.append(jnp.full((n,), float(phi)))
+            continue
+        c = jnp.asarray(_light_center(lt))
+        to = p - c
+        d2 = jnp.maximum(jnp.sum(to * to, -1), 1e-8)
+        imp = float(phi) / d2
+        if isinstance(lt, SpotLight):
+            # cone falloff factor (LightBounds orientation cone)
+            dirn = jnp.asarray(np.asarray(lt.direction, np.float32))
+            dirn = dirn / jnp.linalg.norm(dirn)
+            cos_p = jnp.sum(to * dirn, -1) / jnp.sqrt(d2)
+            cos_cone = float(np.cos(np.deg2rad(lt.cone_angle_deg)))
+            imp = imp * jnp.where(cos_p >= cos_cone, 1.0, 1e-3)
+        elif isinstance(lt, DiffuseAreaLight) and not lt.two_sided:
+            shape = lt.shape
+            nrm = None
+            if hasattr(shape, "e1"):
+                nv = np.cross(np.asarray(shape.e1, np.float64),
+                              np.asarray(shape.e2, np.float64))
+                ln = np.linalg.norm(nv)
+                if ln > 0:
+                    nrm = jnp.asarray((nv / ln).astype(np.float32))
+            if nrm is not None:
+                cos_t = jnp.sum(to * nrm, -1) / jnp.sqrt(d2)
+                imp = imp * jnp.maximum(cos_t, 1e-3)
+        imps.append(imp)
+    imp_mat = jnp.stack(imps, -1)                          # (N, K)
+    fin_sum = jnp.maximum(jnp.sum(imp_mat, -1), 1e-30)
+    pmf = imp_mat / fin_sum[:, None] * (1.0 - p_infinite)
+    if n_inf:
+        pmf = pmf + jnp.asarray(inf_mask, jnp.float32) * (p_infinite / n_inf)
+    return pmf
+
 def sample_one_light(lights: List, p, u1, u2, lam, strategy: str = "uniform"):
     """Light sampler (lightsamplers.h): pick a light with pmf 1/K
     ("uniform", UniformLightSampler) or power-proportional ("power",
@@ -398,7 +475,13 @@ def sample_one_light(lights: List, p, u1, u2, lam, strategy: str = "uniform"):
                           jnp.zeros((n,), bool)),
             jnp.zeros((n,), bool),
         )
-    if strategy == "power":
+    pmf_point = None
+    if strategy == "bvh":
+        pmf_point = _adaptive_pmfs(lights, p)              # (N, K)
+        cdf = jnp.cumsum(pmf_point, -1)
+        idx = jnp.sum((u1[:, None] >= cdf).astype(jnp.int32), -1)
+        idx = jnp.clip(idx, 0, k - 1)
+    elif strategy == "power":
         pw = np.asarray([light_power(lt) for lt in lights], np.float64)
         pmfs = pw / pw.sum()
         cdf = jnp.asarray(np.cumsum(pmfs), jnp.float32)
@@ -420,7 +503,10 @@ def sample_one_light(lights: List, p, u1, u2, lam, strategy: str = "uniform"):
             jnp.where(sel, samples[i].valid, out.valid),
         )
         is_delta = jnp.where(sel, bool(lights[i].is_delta), is_delta)
-    pmf = pmf_arr[idx]
+    if pmf_point is not None:
+        pmf = jnp.take_along_axis(pmf_point, idx[:, None], axis=1)[:, 0]
+    else:
+        pmf = pmf_arr[idx]
     return LightLiSample(out.L, out.wi, out.dist, out.pdf * pmf, out.valid), is_delta
 
 
@@ -431,6 +517,13 @@ def pdf_one_light(lights: List, p, wi, strategy: str = "uniform"):
     n = p.shape[0]
     if k == 0:
         return jnp.zeros((n,))
+    if strategy == "bvh":
+        pmf_mat = _adaptive_pmfs(lights, p)                # (N, K)
+        pdf = jnp.zeros((n,))
+        for i, lt in enumerate(lights):
+            if not lt.is_delta:
+                pdf = pdf + lt.pdf_li(p, wi) * pmf_mat[:, i]
+        return pdf
     if strategy == "power":
         pw = np.asarray([light_power(lt) for lt in lights], np.float64)
         pmfs = pw / pw.sum()

@@ -103,3 +103,44 @@ def test_fog_over_diffuse_floor():
     img, _ = render_mod.render(scene)
     assert np.isfinite(img).all()
     assert img.mean() > 0.01
+
+
+def test_bvh_light_sampler_unbiased():
+    """Adaptive ('bvh') light sampling must give the same furnace result as
+    uniform — only variance differs (lightsamplers.h:260 capability)."""
+    import numpy as np
+
+    from acceleratedvolrenderer_tpu.models import lights as lm
+    from acceleratedvolrenderer_tpu.models.cameras import PerspectiveCamera
+    from acceleratedvolrenderer_tpu.models.film import BoxFilter
+    from acceleratedvolrenderer_tpu.models.materials import DiffuseMaterial
+    from acceleratedvolrenderer_tpu.models.shapes import Sphere
+    from acceleratedvolrenderer_tpu.parallel import render as render_mod
+    from acceleratedvolrenderer_tpu.scene import Scene
+    from acceleratedvolrenderer_tpu.utils import spectrum as sp
+    from acceleratedvolrenderer_tpu.utils import vecmath as vm
+
+    flat = sp.constant_spectrum
+    R = 10.0
+    sphere = Sphere(center=np.zeros(3), radius=R,
+                    material=DiffuseMaterial(reflectance=flat(0.5)))
+    # two point lights of different power: adaptive pmfs differ per point
+    lights = [lm.PointLight(position=np.array([0.0, 3.0, 0.0]),
+                            spectrum=flat(0.5 * np.pi * R * R)),
+              lm.PointLight(position=np.array([0.0, -3.0, 0.0]),
+                            spectrum=flat(0.5 * np.pi * R * R))]
+    cam = PerspectiveCamera(c2w=vm.look_at((0, 0, 0), (0, 0, 1), (0, 1, 0)),
+                            fov_deg=50.0, width=8, height=8)
+
+    def run(strategy):
+        sc = Scene(camera=cam, medium=None, lights=lights,
+                   primitives=[sphere], max_depth=8, filter=BoxFilter(),
+                   spp=48, scene_radius=30.0, integrator="path",
+                   light_sampler=strategy)
+        img, _ = render_mod.render(sc)
+        return (img @ np.array([0.2126, 0.7152, 0.0722])).mean()
+
+    lum_u = run("uniform")
+    lum_b = run("bvh")
+    assert abs(lum_u - 1.0) < 0.08, lum_u
+    assert abs(lum_b - 1.0) < 0.08, lum_b
