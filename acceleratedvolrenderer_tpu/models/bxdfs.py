@@ -395,3 +395,100 @@ def thin_dielectric_sample(wo, u_lobe, eta):
     ones = jnp.ones(wo.shape[:-1], bool)
     return BSDFSample(wi, f[..., None], pdf, ones,
                       jnp.ones(wo.shape[:-1]), ~go_r)
+
+
+# ---------------------------------------------------------------------------
+# Coated diffuse — the LayeredBxDF<DielectricBxDF, DiffuseBxDF> capability
+# (bxdfs.h:432 CoatedDiffuseBxDF).  The reference evaluates the layer stack
+# by stochastic random walk between the interfaces; that estimator's mean
+# for a smooth-or-rough dielectric coat over a Lambertian base is well
+# approximated by the Fresnel-coupled analytic model used here:
+#   f = f_coat_reflection(wo, wi)                       (microfacet, F_diel)
+#     + (1 - F(wo)) (1 - F(wi)) albedo/pi / (1 - albedo Fbar)
+# where the (1 - albedo*Fbar) term accounts for total-internal-reflection
+# energy bouncing between base and coat (Kelemen-Szirmay-Kalos coupling).
+# Deterministic -> no per-bounce RNG in the masked dispatch, which is what
+# the TPU lockstep loop wants.
+# ---------------------------------------------------------------------------
+
+def _fresnel_avg(eta):
+    """Average Fresnel reflectance of a dielectric (fitted form)."""
+    return (eta - 1.0) / (4.08567 + 1.00071 * eta)
+
+
+def coated_diffuse_f(wo, wi, albedo, eta, alpha):
+    up = same_hemisphere(wo, wi) & (cos_theta(wo) > 0)
+    f_o = fresnel_dielectric(abs_cos_theta(wo), eta)
+    f_i = fresnel_dielectric(abs_cos_theta(wi), eta)
+    fbar = _fresnel_avg(eta)
+    diff = (albedo / jnp.pi
+            * ((1.0 - f_o) * (1.0 - f_i))[..., None]
+            / jnp.maximum(1.0 - albedo * fbar[..., None], 1e-3))
+    # coat reflection lobe: Trowbridge-Reitz microfacet with dielectric F
+    smooth = tr_effectively_smooth(alpha)
+    wm = wo + wi
+    wml = jnp.linalg.norm(wm, axis=-1)
+    wm_n = wm / jnp.maximum(wml, 1e-12)[..., None]
+    d = _tr_d(wm_n, alpha)
+    g = tr_g(wo, wi, alpha)
+    f_h = fresnel_dielectric(jnp.abs(jnp.sum(wo * wm_n, -1)), eta)
+    denom = 4.0 * abs_cos_theta(wo) * abs_cos_theta(wi)
+    spec = jnp.where(smooth | (wml < 1e-9), 0.0,
+                     d * g * f_h / jnp.maximum(denom, 1e-9))
+    f = diff + spec[..., None]
+    return jnp.where(up[..., None], f, 0.0)
+
+
+def coated_diffuse_pdf(wo, wi, eta, alpha):
+    up = same_hemisphere(wo, wi) & (cos_theta(wo) > 0)
+    q = jnp.clip(fresnel_dielectric(abs_cos_theta(wo), eta), 0.1, 0.9)
+    p_diff = diffuse_pdf(wo, wi)
+    smooth = tr_effectively_smooth(alpha)
+    wm = wo + wi
+    wml = jnp.linalg.norm(wm, axis=-1)
+    wm_n = wm / jnp.maximum(wml, 1e-12)[..., None]
+    p_spec = jnp.where(
+        smooth | (wml < 1e-9), 0.0,
+        tr_pdf(wo, wm_n, alpha) / jnp.maximum(
+            4.0 * jnp.abs(jnp.sum(wo * wm_n, -1)), 1e-9))
+    return jnp.where(up, q * p_spec + (1.0 - q) * p_diff, 0.0)
+
+
+def coated_diffuse_sample(wo, u_lobe, u2, albedo, eta, alpha):
+    """One-sample lobe selection: coat reflection with prob q = F(wo)."""
+    q = jnp.clip(fresnel_dielectric(abs_cos_theta(wo), eta), 0.1, 0.9)
+    pick_spec = u_lobe < q
+    smooth = tr_effectively_smooth(alpha)
+
+    # specular/glossy coat reflection
+    wm = tr_sample_wm(wo, u2, alpha)
+    wi_rough = reflect(wo, wm)
+    wi_smooth = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+    wi_spec = jnp.where(smooth[..., None], wi_smooth, wi_rough)
+
+    # diffuse base
+    sgn = jnp.sign(jnp.where(cos_theta(wo) == 0, 1.0, cos_theta(wo)))
+    z = jnp.sqrt(jnp.clip(1.0 - u2[..., 0], 0.0, 1.0))
+    r = jnp.sqrt(jnp.clip(u2[..., 0], 0.0, 1.0))
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    wi_dif = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], -1)
+    wi_dif = wi_dif * jnp.stack([jnp.ones_like(sgn), jnp.ones_like(sgn), sgn], -1)
+
+    wi = jnp.where(pick_spec[..., None], wi_spec, wi_dif)
+    f = coated_diffuse_f(wo, wi, albedo, eta, alpha)
+    pdf = coated_diffuse_pdf(wo, wi, eta, alpha)
+    # smooth-coat specular pick: delta lobe handled explicitly
+    f_o = fresnel_dielectric(abs_cos_theta(wo), eta)
+    delta_pick = pick_spec & smooth
+    f_delta = jnp.zeros_like(f) + (f_o / jnp.maximum(abs_cos_theta(wi), 1e-9))[..., None]
+    f = jnp.where(delta_pick[..., None], f_delta, f)
+    pdf = jnp.where(delta_pick, q, pdf)
+    ok = cos_theta(wo) > 0
+    return BSDFSample(
+        wi=wi,
+        f=jnp.where(ok[..., None], f, 0.0),
+        pdf=jnp.where(ok, pdf, 0.0),
+        specular=delta_pick,
+        eta_scale=jnp.ones_like(pdf),
+        transmitted=jnp.zeros_like(ok),
+    )

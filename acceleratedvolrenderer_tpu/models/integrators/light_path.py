@@ -188,7 +188,7 @@ def trace_light_paths(
         p_hit = o_cur + hit.t[:, None] * d_cur
         wo = -d_cur
         prm_stacks = _gather_mat_params(opaque, lam, hit.uv, N)
-        kind_ids = jnp.asarray(prm_stacks["kind"])[mid]
+        kind_ids = _take(prm_stacks["kind"], mid)
         prm = {k: _take(v, mid) for k, v in prm_stacks.items()
                if k not in ("kind", "emissive")}
         emissive_mask = jnp.asarray(prm_stacks["emissive"])[mid]

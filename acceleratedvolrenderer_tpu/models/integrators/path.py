@@ -60,46 +60,60 @@ class VectorSource:
         return u
 
 
-def _gather_mat_params(opaque, lam, uv, N):
-    """Per-primitive material parameter stacks -> dict of (M, N, ...) arrays
-    plus static kind list.  uv is the hit parameterization per ray."""
+def _mat_param_row(m, lam, uv, N):
+    """Parameter dict for ONE material at the hit points (each value
+    (N, ...) with a per-lane `kind`).  MixMaterial resolves per lane by
+    hashing the hit parameterization against `amount` (materials.h
+    MixMaterial::ChooseMaterial with HashFloat)."""
     L = lam.shape[-1]
     zeros_s = jnp.zeros((N, L))
-    albedo, refl, trans, eta_c, k_c, eta_d, alpha, emission = \
-        [], [], [], [], [], [], [], []
-    kinds = []
-    for p in opaque:
-        m = p.material
-        kinds.append(getattr(m, "kind", materials_mod.KIND_DIFFUSE))
-        albedo.append(materials_mod._eval_spectral(
-            getattr(m, "reflectance", None), lam, uv))
-        refl.append(materials_mod._eval_spectral(
-            getattr(m, "reflectance", None), lam, uv))
-        trans.append(materials_mod._eval_spectral(
-            getattr(m, "transmittance", None), lam, uv))
-        eta_c.append(materials_mod._eval_spectral(
-            getattr(m, "eta", None), lam, uv)
-            if getattr(m, "kind", 0) == materials_mod.KIND_CONDUCTOR
-            else zeros_s)
-        k_c.append(materials_mod._eval_spectral(
-            getattr(m, "k", None), lam, uv)
-            if getattr(m, "kind", 0) == materials_mod.KIND_CONDUCTOR
-            else zeros_s)
-        ed = getattr(m, "eta", 1.5)
-        eta_d.append(jnp.full((N,), float(ed))
-                     if isinstance(ed, (int, float)) else jnp.full((N,), 1.5))
-        r = getattr(m, "roughness", 0.0)
-        alpha.append(materials_mod._eval_float(r, uv, (N,)))
-        emission.append(
-            materials_mod._eval_spectral(m.emission, lam, uv) * m.emission_scale
-            if m.emissive else zeros_s)
+    if isinstance(m, materials_mod.MixMaterial):
+        a = _mat_param_row(m.m1, lam, uv, N)
+        b = _mat_param_row(m.m2, lam, uv, N)
+        if uv is not None:
+            bits = (jnp.asarray(uv[..., 0] * 65535, jnp.uint32) * 73856093
+                    ^ jnp.asarray(uv[..., 1] * 65535, jnp.uint32) * 19349663)
+            h = (bits % jnp.uint32(65536)).astype(jnp.float32) / 65536.0
+        else:
+            h = jnp.zeros((N,))
+        pick_a = h < m.amount
+        out = {}
+        for k in a:
+            av, bv = a[k], b[k]
+            sel = pick_a if av.ndim == 1 else pick_a[:, None]
+            out[k] = jnp.where(sel, av, bv)
+        return out
+    kind = getattr(m, "kind", materials_mod.KIND_DIFFUSE)
+    ed = getattr(m, "eta", 1.5)
+    r = getattr(m, "roughness", 0.0)
     return dict(
-        kind=np.asarray(kinds, np.int32),
-        albedo=jnp.stack(albedo), refl=jnp.stack(refl), trans=jnp.stack(trans),
-        eta_c=jnp.stack(eta_c), k_c=jnp.stack(k_c), eta_d=jnp.stack(eta_d),
-        alpha=jnp.stack(alpha), emission=jnp.stack(emission),
-        emissive=np.asarray([p.material.emissive for p in opaque], bool),
+        kind=jnp.full((N,), int(kind), jnp.int32),
+        albedo=materials_mod._eval_spectral(
+            getattr(m, "reflectance", None), lam, uv),
+        refl=materials_mod._eval_spectral(
+            getattr(m, "reflectance", None), lam, uv),
+        trans=materials_mod._eval_spectral(
+            getattr(m, "transmittance", None), lam, uv),
+        eta_c=(materials_mod._eval_spectral(getattr(m, "eta", None), lam, uv)
+               if kind == materials_mod.KIND_CONDUCTOR else zeros_s),
+        k_c=(materials_mod._eval_spectral(getattr(m, "k", None), lam, uv)
+             if kind == materials_mod.KIND_CONDUCTOR else zeros_s),
+        eta_d=(jnp.full((N,), float(ed))
+               if isinstance(ed, (int, float)) else jnp.full((N,), 1.5)),
+        alpha=materials_mod._eval_float(r, uv, (N,)),
+        emission=(materials_mod._eval_spectral(m.emission, lam, uv)
+                  * m.emission_scale if m.emissive else zeros_s),
     )
+
+
+def _gather_mat_params(opaque, lam, uv, N):
+    """Per-primitive material parameter stacks -> dict of (M, N, ...)
+    arrays; `kind` is per-lane (M, N) so MixMaterial can resolve per hit.
+    uv is the hit parameterization per ray."""
+    rows = [_mat_param_row(p.material, lam, uv, N) for p in opaque]
+    out = {k: jnp.stack([r[k] for r in rows]) for k in rows[0]}
+    out["emissive"] = np.asarray([p.material.emissive for p in opaque], bool)
+    return out
 
 
 def _take(arr, idx):
@@ -118,10 +132,13 @@ def _bsdf_sample(kind_ids, prm, wo_l, u_lobe, u2):
     s_thn = bxdfs.thin_dielectric_sample(wo_l, u_lobe, prm["eta_d"])
     s_dft = bxdfs.diffuse_transmission_sample(wo_l, u_lobe, u2, prm["refl"],
                                               prm["trans"])
-    outs = [s_dif, s_con, s_die, s_thn, s_dft]
+    s_cod = bxdfs.coated_diffuse_sample(wo_l, u_lobe, u2, prm["albedo"],
+                                        prm["eta_d"], prm["alpha"])
+    outs = [s_dif, s_con, s_die, s_thn, s_dft, s_cod]
     kids = [materials_mod.KIND_DIFFUSE, materials_mod.KIND_CONDUCTOR,
             materials_mod.KIND_DIELECTRIC, materials_mod.KIND_THIN_DIELECTRIC,
-            materials_mod.KIND_DIFFUSE_TRANSMISSION]
+            materials_mod.KIND_DIFFUSE_TRANSMISSION,
+            materials_mod.KIND_COATED_DIFFUSE]
     out = outs[0]
     for s, kid in zip(outs[1:], kids[1:]):
         sel = kind_ids == kid
@@ -149,13 +166,17 @@ def _bsdf_f_pdf(kind_ids, prm, wo_l, wi_l):
     pt = jnp.max(prm["trans"], -1)
     f_dft = bxdfs.diffuse_transmission_f(wo_l, wi_l, prm["refl"], prm["trans"])
     p_dft = bxdfs.diffuse_transmission_pdf(wo_l, wi_l, pr, pt)
+    f_cod = bxdfs.coated_diffuse_f(wo_l, wi_l, prm["albedo"], prm["eta_d"],
+                                   prm["alpha"])
+    p_cod = bxdfs.coated_diffuse_pdf(wo_l, wi_l, prm["eta_d"], prm["alpha"])
     zero_f = jnp.zeros_like(f_dif)
     zero_p = jnp.zeros_like(p_dif)
-    fs = [f_dif, f_con, f_die, zero_f, f_dft]
-    ps = [p_dif, p_con, p_die, zero_p, p_dft]
+    fs = [f_dif, f_con, f_die, zero_f, f_dft, f_cod]
+    ps = [p_dif, p_con, p_die, zero_p, p_dft, p_cod]
     kids = [materials_mod.KIND_DIFFUSE, materials_mod.KIND_CONDUCTOR,
             materials_mod.KIND_DIELECTRIC, materials_mod.KIND_THIN_DIELECTRIC,
-            materials_mod.KIND_DIFFUSE_TRANSMISSION]
+            materials_mod.KIND_DIFFUSE_TRANSMISSION,
+            materials_mod.KIND_COATED_DIFFUSE]
     f, p = fs[0], ps[0]
     for fi, pi, kid in zip(fs[1:], ps[1:], kids[1:]):
         sel = kind_ids == kid
@@ -239,7 +260,7 @@ def li_path(
         wo = -d_cur
 
         prm_stacks = _gather_mat_params(opaque, lam, hit.uv, N)
-        kind_ids = jnp.asarray(prm_stacks["kind"])[mid]
+        kind_ids = _take(prm_stacks["kind"], mid)
         prm = {k: _take(v, mid) for k, v in prm_stacks.items()
                if k not in ("kind", "emissive")}
         emissive_mask = jnp.asarray(prm_stacks["emissive"])[mid]

@@ -109,7 +109,7 @@ def _camera_pass(prims, lights, cam, pix, pixidx, lam, rng, *, max_depth,
         wo = -d_cur
 
         prm_stacks = _gather_mat_params(opaque, lam, hit.uv, N)
-        kind_ids = jnp.asarray(prm_stacks["kind"])[mid]
+        kind_ids = _take(prm_stacks["kind"], mid)
         prm = {k: _take(v, mid) for k, v in prm_stacks.items()
                if k not in ("kind", "emissive")}
         emissive_mask = jnp.asarray(prm_stacks["emissive"])[mid]
@@ -286,7 +286,7 @@ def _photon_pass(prims, lights, n_photons, lam, rng, vp, radius, *,
         N = Np
         mid = jnp.clip(hit.prim_id, 0, len(opaque) - 1)
         prm_stacks = _gather_mat_params(opaque, lam_p, hit.uv, N)
-        kind_ids = jnp.asarray(prm_stacks["kind"])[mid]
+        kind_ids = _take(prm_stacks["kind"], mid)
         prm = {k: _take(v, mid) for k, v in prm_stacks.items()
                if k not in ("kind", "emissive")}
         emissive_mask = jnp.asarray(prm_stacks["emissive"])[mid]

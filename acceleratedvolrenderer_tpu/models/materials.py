@@ -30,6 +30,7 @@ KIND_CONDUCTOR = 1
 KIND_DIELECTRIC = 2
 KIND_THIN_DIELECTRIC = 3
 KIND_DIFFUSE_TRANSMISSION = 4
+KIND_COATED_DIFFUSE = 5
 
 
 def _eval_spectral(value, lam, uv=None):
@@ -138,3 +139,47 @@ class DiffuseTransmissionMaterial:
     @property
     def emissive(self) -> bool:
         return self.emission is not None
+
+
+@dataclass(frozen=True)
+class CoatedDiffuseMaterial:
+    """Dielectric coat over a Lambertian base — the CoatedDiffuseBxDF /
+    LayeredBxDF capability (materials.h coateddiffuse, bxdfs.h:432),
+    evaluated with the deterministic Fresnel-coupled model
+    (bxdfs.coated_diffuse_*) instead of the reference's stochastic
+    interface walk."""
+    reflectance: Union[Callable, float, object] = 0.5
+    eta: float = 1.5
+    roughness: Union[Callable, float] = 0.0
+    emission: Optional[Callable] = None
+    emission_scale: float = 1.0
+
+    kind = KIND_COATED_DIFFUSE
+
+    @property
+    def emissive(self) -> bool:
+        return self.emission is not None
+
+
+@dataclass(frozen=True)
+class MixMaterial:
+    """Stochastic blend of two materials (materials.h MixMaterial): each
+    shading point deterministically resolves to one of the two via a hash
+    of its hit parameterization against `amount` (pbrt's ChooseMaterial
+    with HashFloat), so the masked-dispatch path sees a concrete material
+    per lane."""
+    m1: object
+    m2: object
+    amount: float = 0.5   # probability of m1
+
+    emission = None
+    emission_scale = 1.0
+
+    @property
+    def emissive(self) -> bool:
+        return bool(getattr(self.m1, "emissive", False)
+                    or getattr(self.m2, "emissive", False))
+
+    @property
+    def kind(self):
+        return getattr(self.m1, "kind", KIND_DIFFUSE)

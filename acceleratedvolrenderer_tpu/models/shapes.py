@@ -454,3 +454,181 @@ def occluded(prims: List, o, d, dist):
         t, _, _ = prim.intersect(o, d, dist)
         blocked = blocked | jnp.isfinite(t)
     return blocked
+
+
+@dataclass(frozen=True)
+class BilinearPatch:
+    """Non-planar bilinear patch over four corners p00, p10, p01, p11
+    (shapes.h BilinearPatch): point(u,v) = lerp(v, lerp(u, p00, p10),
+    lerp(u, p01, p11)).  Intersection solves the quadratic in u from the
+    ray-patch equation (GARP / Reshetov), then v and t from the line
+    through the u-isoline — branch-free over the ray batch."""
+    p00: np.ndarray
+    p10: np.ndarray
+    p01: np.ndarray
+    p11: np.ndarray
+    material: Optional[object] = None
+
+    def _corners(self):
+        return (jnp.asarray(self.p00, jnp.float32),
+                jnp.asarray(self.p10, jnp.float32),
+                jnp.asarray(self.p01, jnp.float32),
+                jnp.asarray(self.p11, jnp.float32))
+
+    def intersect(self, o, d, t_max):
+        p00, p10, p01, p11 = self._corners()
+        # Solve for u: points on the patch satisfy
+        #   p(u, v) = (1-v) [p00 + u (p10 - p00)] + v [p01 + u (p11 - p01)]
+        # The ray o + t d hits the u-isoline segment; eliminating t and v
+        # gives a quadratic a u^2 + b u + c = 0 with coefficients from
+        # triple products (Reshetov's GARP formulation, used by pbrt).
+        e10 = p10 - p00
+        e01 = p01 - p00
+        e11 = p11 - p10
+        qn = jnp.cross(e10, p01 - p11)    # "curl" term
+        a = jnp.sum(qn * d, -1)
+        pd0 = p00 - o
+        pd1 = p10 - o
+        c = jnp.sum(jnp.cross(pd0, d) * e01, -1)
+        b = jnp.sum(jnp.cross(pd1, d) * (p11 - p10), -1) - (a + c)
+        # robust quadratic
+        disc = b * b - 4 * a * c
+        ok = disc >= 0
+        sq = safe_sqrt(disc)
+        qq = -0.5 * (b + jnp.where(b >= 0, sq, -sq))
+        lin = jnp.abs(a) < 1e-12
+        u1 = jnp.where(lin, -c / jnp.where(jnp.abs(b) > 1e-12, b, 1e-12),
+                       qq / jnp.where(jnp.abs(a) > 1e-12, a, 1e-12))
+        u2 = jnp.where(lin, jnp.inf,
+                       c / jnp.where(jnp.abs(qq) > 1e-12, qq, 1e-12))
+
+        def eval_u(u):
+            # segment endpoints of the u-isoline
+            pa = p00 + u[..., None] * e10
+            pb = p01 + u[..., None] * (p11 - p01)
+            eab = pb - pa
+            # solve [eab, -d] [v, t]^T = o - pa  via cross products
+            n2 = jnp.cross(eab, d)
+            den = jnp.sum(n2 * n2, -1)
+            rel = o - pa
+            v = jnp.sum(jnp.cross(rel, d) * n2, -1) / jnp.where(
+                den > 1e-20, den, 1e-20)
+            t = jnp.sum(jnp.cross(rel, eab) * n2, -1) / jnp.where(
+                den > 1e-20, den, 1e-20)
+            valid = ((u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
+                     & (t > _EPS) & (den > 1e-20))
+            return jnp.where(valid, t, jnp.inf), v
+
+        t_a, v_a = eval_u(jnp.clip(u1, -1e6, 1e6))
+        t_b, v_b = eval_u(jnp.clip(u2, -1e6, 1e6))
+        pick_a = t_a <= t_b
+        t = jnp.where(pick_a, t_a, t_b)
+        u = jnp.where(pick_a, u1, u2)
+        v = jnp.where(pick_a, v_a, v_b)
+        t = jnp.where(ok & (t < t_max), t, jnp.inf)
+        # geometric normal from the surface partials at (u, v)
+        dpdu = (1 - v)[..., None] * e10 + v[..., None] * (p11 - p01)
+        dpdv = (1 - u)[..., None] * e01 + u[..., None] * (p11 - p10)
+        n = vm.normalize(jnp.cross(dpdu, dpdv))
+        return t, n, jnp.stack([jnp.clip(u, 0, 1), jnp.clip(v, 0, 1)], -1)
+
+    def area(self) -> float:
+        # MC-free estimate: mean of the two triangle splits
+        p00, p10, p01, p11 = [np.asarray(x, np.float64)
+                              for x in (self.p00, self.p10, self.p01, self.p11)]
+        a1 = 0.5 * np.linalg.norm(np.cross(p10 - p00, p01 - p00))
+        a2 = 0.5 * np.linalg.norm(np.cross(p11 - p10, p01 - p10))
+        return float(a1 + a2)
+
+    def sample(self, u2):
+        p00, p10, p01, p11 = self._corners()
+        u = u2[..., 0:1]
+        v = u2[..., 1:2]
+        p = ((1 - v) * ((1 - u) * p00 + u * p10)
+             + v * ((1 - u) * p01 + u * p11))
+        dpdu = (1 - v) * (p10 - p00) + v * (p11 - p01)
+        dpdv = (1 - u) * (p01 - p00) + u * (p11 - p10)
+        n = vm.normalize(jnp.cross(dpdu, dpdv))
+        pdf = jnp.full(u2.shape[:-1], 1.0 / max(self.area(), 1e-12))
+        return p, n, pdf
+
+
+@dataclass(frozen=True)
+class Curve:
+    """Swept-sphere curve segment chain (shapes.h Curve, flat/cylinder
+    variants): a cubic Bezier spine with linearly interpolated width,
+    intersected as N_SEG capsules (segment + radius) in one vectorized
+    min-reduce.  Faithful to the reference's recursive splitting in the
+    limit of its leaf segments; N_SEG=16 matches its typical refinement."""
+    cp: np.ndarray          # (4, 3) Bezier control points
+    width0: float = 0.01
+    width1: float = 0.01
+    material: Optional[object] = None
+    n_seg: int = 16
+
+    def _polyline(self):
+        ts = np.linspace(0.0, 1.0, self.n_seg + 1)
+        cp = np.asarray(self.cp, np.float64)
+        pts = np.stack([
+            ((1 - t) ** 3 * cp[0] + 3 * (1 - t) ** 2 * t * cp[1]
+             + 3 * (1 - t) * t ** 2 * cp[2] + t ** 3 * cp[3]) for t in ts])
+        ws = (1 - ts) * self.width0 + ts * self.width1
+        return pts.astype(np.float32), ws.astype(np.float32)
+
+    def intersect(self, o, d, t_max):
+        pts, ws = self._polyline()
+        t_best = jnp.full(o.shape[:-1], jnp.inf)
+        n_best = jnp.zeros_like(o)
+        u_best = jnp.zeros(o.shape[:-1])
+        for i in range(self.n_seg):
+            a = jnp.asarray(pts[i])
+            b = jnp.asarray(pts[i + 1])
+            r = float(0.5 * (ws[i] + ws[i + 1])) * 0.5
+            # capsule: distance from ray to segment == r
+            ab = b - a
+            ab2 = float(np.dot(pts[i + 1] - pts[i], pts[i + 1] - pts[i]))
+            ao = o - a
+            # project out the axis component: solve quadratic for the
+            # infinite cylinder, then clamp the axis parameter (sphere
+            # caps approximated by the segment midpoint test)
+            dn = d - (jnp.sum(d * ab, -1) / max(ab2, 1e-12))[..., None] * ab
+            on = ao - (jnp.sum(ao * ab, -1) / max(ab2, 1e-12))[..., None] * ab
+            A = jnp.sum(dn * dn, -1)
+            B = 2.0 * jnp.sum(dn * on, -1)
+            C = jnp.sum(on * on, -1) - r * r
+            disc = B * B - 4 * A * C
+            sq = safe_sqrt(disc)
+            t0 = (-B - sq) / jnp.where(jnp.abs(A) > 1e-12, 2 * A, 1e-12)
+            hit_p = o + t0[..., None] * d
+            s = jnp.sum((hit_p - a) * ab, -1) / max(ab2, 1e-12)
+            valid = ((disc >= 0) & (t0 > _EPS) & (s >= 0.0) & (s <= 1.0)
+                     & (t0 < t_max))
+            t0 = jnp.where(valid, t0, jnp.inf)
+            closer = t0 < t_best
+            axis_p = a + jnp.clip(s, 0, 1)[..., None] * ab
+            nrm = vm.normalize(hit_p - axis_p)
+            t_best = jnp.where(closer, t0, t_best)
+            n_best = jnp.where(closer[..., None], nrm, n_best)
+            u_best = jnp.where(closer, (i + jnp.clip(s, 0, 1)) / self.n_seg,
+                               u_best)
+        v = jnp.zeros_like(u_best)
+        return t_best, n_best, jnp.stack([u_best, v], -1)
+
+    def area(self) -> float:
+        pts, ws = self._polyline()
+        seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+        return float((seg * 0.5 * (ws[:-1] + ws[1:]) * np.pi).sum())
+
+    def sample(self, u2):
+        # uniform along the spine (curves are rarely emitters)
+        pts, ws = self._polyline()
+        s = u2[..., 0] * self.n_seg
+        i = jnp.clip(s.astype(jnp.int32), 0, self.n_seg - 1)
+        frac = s - i
+        a = jnp.asarray(pts)[i]
+        b = jnp.asarray(pts)[i + 1]
+        p = a + frac[..., None] * (b - a)
+        n = jnp.stack([jnp.zeros_like(frac), jnp.zeros_like(frac),
+                       jnp.ones_like(frac)], -1)
+        pdf = jnp.full(u2.shape[:-1], 1.0 / max(self.area(), 1e-12))
+        return p, n, pdf

@@ -110,6 +110,11 @@ def _floats(vals):
     return [float(v) for v in vals]
 
 
+def _np_normalize(v):
+    v = np.asarray(v, np.float64)
+    return (v / max(np.linalg.norm(v), 1e-30)).astype(np.float32)
+
+
 def _to_spectrum(ptype, vals):
     """Parameter -> spectrum callable."""
     if ptype in ("rgb", "color"):
@@ -139,7 +144,8 @@ def _to_spectrum(ptype, vals):
 @dataclass
 class _GState:
     ctm: np.ndarray = field(default_factory=lambda: np.eye(4))
-    material: Optional[str] = "diffuse"
+    material: Optional[object] = "diffuse"   # material object or kind str
+    area_light: Optional[tuple] = None       # (spectrum, scale, two_sided)
     inside_medium: Optional[str] = None
     outside_medium: Optional[str] = None
     reverse_orientation: bool = False
@@ -154,6 +160,8 @@ class PbrtParser:
         self.state = _GState()
         self.stack: List[_GState] = []
         self.named_media: Dict[str, MediumSpec] = {}
+        self.named_materials: Dict[str, object] = {}
+        self.primitives: List = []
         self.lights: List = []
         self.camera = None
         self.cam_kind = "perspective"
@@ -395,9 +403,13 @@ class PbrtParser:
         return p
 
     def _h_AreaLightSource(self, t, p):
-        _ = t[p]
-        _, p = _parse_params(t, p + 1)
-        warnings.warn("area lights unsupported in this subset; skipped")
+        _ = t[p]   # "diffuse"
+        params, p = _parse_params(t, p + 1)
+        L = (_to_spectrum(*params["L"]) if "L" in params
+             else sp.constant_spectrum(1.0))
+        scale = float(params.get("scale", (None, ["1"]))[1][0])
+        two = params.get("twosided", (None, ["false"]))[1][0] == "true"
+        self.state.area_light = (L, scale, two)
         return p
 
     def _h_MakeNamedMedium(self, t, p):
@@ -472,18 +484,70 @@ class PbrtParser:
             self.camera_medium = inside or None
         return p + (2 if p + 1 < len(t) and t[p + 1].startswith('"') else 1)
 
+    def _build_material(self, kind, params):
+        """Material statement -> models.materials object (materials.h
+        factory subset: diffuse/conductor/dielectric/thindielectric/
+        diffusetransmission/coateddiffuse/mix)."""
+        from ..models import materials as mats
+
+        def spec(name, default):
+            if name in params:
+                return _to_spectrum(*params[name])
+            return sp.constant_spectrum(default)
+
+        def flt(name, default):
+            if name in params:
+                return float(params[name][1][0])
+            return default
+
+        if kind in ("", None):
+            return None
+        if kind == "conductor":
+            return mats.ConductorMaterial(
+                eta=spec("eta", 0.2), k=spec("k", 3.9),
+                roughness=flt("roughness", 0.0))
+        if kind == "dielectric":
+            return mats.DielectricMaterial(eta=flt("eta", 1.5),
+                                           roughness=flt("roughness", 0.0))
+        if kind == "thindielectric":
+            return mats.ThinDielectricMaterial(eta=flt("eta", 1.5))
+        if kind == "diffusetransmission":
+            return mats.DiffuseTransmissionMaterial(
+                reflectance=spec("reflectance", 0.25),
+                transmittance=spec("transmittance", 0.25))
+        if kind == "coateddiffuse":
+            return mats.CoatedDiffuseMaterial(
+                reflectance=spec("reflectance", 0.5),
+                eta=flt("eta", 1.5), roughness=flt("roughness", 0.0))
+        if kind == "mix":
+            names = [v.strip('"') for v in
+                     params.get("materials", (None, []))[1]]
+            _default = mats.DiffuseMaterial(
+                reflectance=sp.constant_spectrum(0.5))
+            m1 = self.named_materials.get(names[0] if names else "", _default)
+            m2 = self.named_materials.get(
+                names[1] if len(names) > 1 else "", _default)
+            return mats.MixMaterial(m1=m1, m2=m2, amount=flt("amount", 0.5))
+        if kind != "diffuse":
+            warnings.warn(f"material '{kind}' approximated as diffuse")
+        return mats.DiffuseMaterial(reflectance=spec("reflectance", 0.5))
+
     def _h_Material(self, t, p):
         kind = t[p][1:-1]
-        _, p = _parse_params(t, p + 1)
-        self.state.material = kind or None
+        params, p = _parse_params(t, p + 1)
+        self.state.material = self._build_material(kind, params)
         return p
 
     def _h_MakeNamedMaterial(self, t, p):
-        _ = t[p]
-        _, p = _parse_params(t, p + 1)
+        name = t[p][1:-1]
+        params, p = _parse_params(t, p + 1)
+        kind = params.get("type", ("string", ['"diffuse"']))[1][0].strip('"')
+        self.named_materials[name] = self._build_material(kind, params)
         return p
 
     def _h_NamedMaterial(self, t, p):
+        name = t[p][1:-1]
+        self.state.material = self.named_materials.get(name)
         return p + 1
 
     def _h_Texture(self, t, p):
@@ -501,8 +565,94 @@ class PbrtParser:
             self.shapes.append((kind, params, self.state.inside_medium,
                                 self.state.ctm.copy()))
         elif self.state.material is not None:
-            warnings.warn(f"opaque shape '{kind}' ignored (surface rendering subset)")
+            self._add_opaque_shape(kind, params)
         return p
+
+    def _add_opaque_shape(self, kind, params):
+        """Opaque primitive construction (shapes.h factory subset) with the
+        current transform, material, and area-light emission applied."""
+        import dataclasses as _dc
+
+        from ..models import materials as mats
+        from ..models import shapes as shp
+
+        mat = self.state.material
+        if isinstance(mat, str):
+            mat = mats.DiffuseMaterial(
+                reflectance=sp.constant_spectrum(0.5))
+        if self.state.area_light is not None and mat is not None \
+                and not isinstance(mat, mats.MixMaterial):
+            L, scale, _two = self.state.area_light
+            mat = _dc.replace(mat, emission=L, emission_scale=scale)
+
+        m = self.state.ctm
+        o2w = np.linalg.inv(m) if False else m   # ctm is world-from-object
+        def xf(pt):
+            pt = np.asarray(pt, np.float64)
+            return (o2w[:3, :3] @ pt + o2w[:3, 3]).astype(np.float32)
+        def xfv(v):
+            return (o2w[:3, :3] @ np.asarray(v, np.float64)).astype(np.float32)
+        uscale = float(np.cbrt(max(abs(np.linalg.det(o2w[:3, :3])), 1e-30)))
+
+        def flt(name, default):
+            return (float(params[name][1][0]) if name in params else default)
+
+        if kind == "sphere":
+            self.primitives.append(shp.Sphere(
+                center=xf([0, 0, 0]), radius=flt("radius", 1.0) * uscale,
+                material=mat))
+        elif kind == "disk":
+            h = flt("height", 0.0)
+            self.primitives.append(shp.Disk(
+                center=xf([0, 0, h]), normal=_np_normalize(xfv([0, 0, 1])),
+                radius=flt("radius", 1.0) * uscale,
+                inner_radius=flt("innerradius", 0.0) * uscale, material=mat))
+        elif kind == "cylinder":
+            self.primitives.append(shp.Cylinder(
+                p0=xf([0, 0, flt("zmin", -1.0)]),
+                p1=xf([0, 0, flt("zmax", 1.0)]),
+                radius=flt("radius", 1.0) * uscale, material=mat))
+        elif kind == "trianglemesh":
+            P = np.asarray(_floats(params["P"][1]), np.float64).reshape(-1, 3)
+            idx = np.asarray([int(v) for v in params["indices"][1]],
+                             np.int32).reshape(-1, 3)
+            V = np.stack([xf(q) for q in P])
+            uv = None
+            if "uv" in params or "st" in params:
+                key = "uv" if "uv" in params else "st"
+                uv = np.asarray(_floats(params[key][1]),
+                                np.float32).reshape(-1, 2)
+            self.primitives.append(shp.TriangleMesh(
+                vertices=V, indices=idx, material=mat, uvs=uv))
+        elif kind == "plymesh":
+            from ..utils import ply as ply_mod
+
+            fname = params["filename"][1][0].strip('"')
+            mesh = ply_mod.read_ply(os.path.join(self.base_dir, fname))
+            V = np.stack([xf(q) for q in mesh["vertices"]])
+            self.primitives.append(shp.TriangleMesh(
+                vertices=V, indices=mesh["faces"], material=mat,
+                uvs=mesh.get("uvs")))
+        elif kind == "bilinearmesh":
+            P = np.asarray(_floats(params["P"][1]), np.float64).reshape(-1, 3)
+            idx = (np.asarray([int(v) for v in params["indices"][1]],
+                              np.int32).reshape(-1, 4)
+                   if "indices" in params
+                   else np.arange(len(P), dtype=np.int32).reshape(-1, 4))
+            for quad in idx:
+                self.primitives.append(shp.BilinearPatch(
+                    p00=xf(P[quad[0]]), p10=xf(P[quad[1]]),
+                    p01=xf(P[quad[2]]), p11=xf(P[quad[3]]), material=mat))
+        elif kind == "curve":
+            P = np.asarray(_floats(params["P"][1]), np.float64).reshape(-1, 3)
+            w0 = flt("width0", flt("width", 0.01))
+            w1 = flt("width1", flt("width", 0.01))
+            for i in range(0, len(P) - 3, 3):
+                self.primitives.append(shp.Curve(
+                    cp=np.stack([xf(q) for q in P[i:i + 4]]),
+                    width0=w0 * uscale, width1=w1 * uscale, material=mat))
+        else:
+            warnings.warn(f"opaque shape '{kind}' unsupported; skipped")
 
     def _h_Include(self, t, p):
         path = t[p][1:-1]
@@ -538,6 +688,7 @@ class PbrtParser:
 
         return Scene(
             camera=camera, medium=medium, lights=self.lights,
+            primitives=self.primitives,
             max_depth=self.max_depth, filter=self.filter, spp=self.spp,
             sampler=self.sampler,
         )

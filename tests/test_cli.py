@@ -153,3 +153,46 @@ def test_nanovdb2pbrt_downsample(tmp_path):
     d = downsample2(a)
     assert d.shape == (1, 1, 1)
     assert abs(float(d) - a.mean()) < 1e-6
+
+
+def test_plytool_roundtrip(tmp_path, capsys):
+    import numpy as np
+
+    from acceleratedvolrenderer_tpu.cli import plytool
+    from acceleratedvolrenderer_tpu.utils import ply
+
+    v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    path = tmp_path / "quad.ply"
+    ply.write_ply(str(path), v, f)
+    m = ply.read_ply(str(path))
+    assert np.allclose(m["vertices"], v)
+    assert np.array_equal(m["faces"], f)
+    rc = plytool.main(["info", str(path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "4 vertices, 2 triangles" in out
+
+
+def test_ply_ascii_fan_triangulation(tmp_path):
+    from acceleratedvolrenderer_tpu.utils import ply
+
+    txt = """ply
+format ascii 1.0
+element vertex 4
+property float x
+property float y
+property float z
+element face 1
+property list uchar int vertex_indices
+end_header
+0 0 0
+1 0 0
+1 1 0
+0 1 0
+4 0 1 2 3
+"""
+    p = tmp_path / "a.ply"
+    p.write_text(txt)
+    m = ply.read_ply(str(p))
+    assert m["faces"].shape == (2, 3)

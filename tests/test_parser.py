@@ -92,7 +92,8 @@ def test_parse_renders(tmp_path):
 def test_unknown_directive_warns():
     with pytest.warns(UserWarning):
         PbrtParser().parse_string(
-            'Camera "perspective"\nWorldBegin\nAreaLightSource "diffuse" "rgb L" [1 1 1]\n'
+            'Camera "perspective"\nWorldBegin\n'
+            'Shape "heightfield" "integer nu" [2]\n'
         )
 
 
@@ -107,3 +108,79 @@ def test_include(tmp_path):
 
     scene = load_scene(str(main))
     assert len(scene.lights) == 1
+
+
+def test_parser_surface_scene(tmp_path):
+    """Opaque shapes + materials + area lights now parse into primitives
+    (BasicSceneBuilder surface path)."""
+    import numpy as np
+
+    from acceleratedvolrenderer_tpu.models import materials as mats
+    from acceleratedvolrenderer_tpu.models import shapes as shp
+    from acceleratedvolrenderer_tpu.scene.parser import load_scene
+
+    txt = '''
+Camera "perspective" "float fov" [45]
+Film "rgb" "integer xresolution" [16] "integer yresolution" [16]
+WorldBegin
+LightSource "point" "rgb I" [10 10 10]
+MakeNamedMaterial "red" "string type" "diffuse" "rgb reflectance" [.8 .1 .1]
+AttributeBegin
+Translate 0 0 5
+Material "coateddiffuse" "float roughness" [0.1]
+Shape "sphere" "float radius" [1.5]
+AttributeEnd
+AttributeBegin
+NamedMaterial "red"
+Translate 0 -2 5
+Shape "trianglemesh"
+  "point3 P" [-3 0 -3  3 0 -3  3 0 3  -3 0 3]
+  "integer indices" [0 1 2 0 2 3]
+AttributeEnd
+AttributeBegin
+AreaLightSource "diffuse" "rgb L" [4 4 4]
+Translate 0 3 5
+Shape "disk" "float radius" [0.7]
+AttributeEnd
+'''
+    f = tmp_path / "s.pbrt"
+    f.write_text(txt)
+    sc = load_scene(str(f))
+    kinds = [type(p).__name__ for p in sc.primitives]
+    assert kinds == ["Sphere", "TriangleMesh", "Disk"]
+    sph = sc.primitives[0]
+    assert isinstance(sph.material, mats.CoatedDiffuseMaterial)
+    assert np.allclose(sph.center, [0, 0, 5], atol=1e-5)
+    assert abs(sph.radius - 1.5) < 1e-5
+    tm = sc.primitives[1]
+    assert isinstance(tm.material, mats.DiffuseMaterial)
+    assert np.allclose(tm.vertices[0], [-3, -2, 2], atol=1e-4)
+    disk = sc.primitives[2]
+    assert disk.material.emissive
+    assert len(sc.lights) == 1
+
+
+def test_parser_renders_surface_scene(tmp_path):
+    from acceleratedvolrenderer_tpu.parallel import render as render_mod
+    from acceleratedvolrenderer_tpu.scene.parser import load_scene
+    import numpy as np
+
+    txt = '''
+Camera "perspective" "float fov" [50]
+Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+Sampler "independent" "integer pixelsamples" [4]
+Integrator "path" "integer maxdepth" [3]
+WorldBegin
+LightSource "point" "point3 from" [0 2 3] "rgb I" [20 20 20]
+AttributeBegin
+Translate 0 0 4
+Shape "sphere" "float radius" [1]
+AttributeEnd
+'''
+    f = tmp_path / "r.pbrt"
+    f.write_text(txt)
+    sc = load_scene(str(f))
+    sc.integrator = "path"
+    img, _ = render_mod.render(sc)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.0
