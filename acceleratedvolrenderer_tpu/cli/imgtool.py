@@ -137,6 +137,82 @@ def cmd_cat(args):
     return 0
 
 
+
+
+def cmd_whitebalance(args):
+    """Chromatic adaptation between illuminants (imgtool whitebalance)."""
+    from ..models.film import white_balance_matrix
+    from ..utils import colorspace as cs
+
+    img, attrs = _load(args.input)
+    src = tuple(float(x) for x in args.primaries.split(","))
+    import jax.numpy as jnp
+
+    m = white_balance_matrix(src, (0.3127, 0.3290))
+    xyz = np.asarray(cs.rgb_to_xyz(jnp.asarray(img)))
+    out = np.asarray(cs.xyz_to_rgb(jnp.asarray(xyz @ m.T)))
+    from ..utils.image import write_exr
+
+    write_exr(args.output, np.clip(out, 0, None))
+    return 0
+
+
+def cmd_bloom(args):
+    """Add bloom around bright pixels (imgtool bloom): pixels above
+    --level spread through --iterations box blurs of --width, scaled."""
+    img, _ = _load(args.input)
+    bright = np.where(img.max(-1, keepdims=True) > args.level, img, 0.0)
+    w = max(int(args.width), 1)
+    blur = bright.copy()
+    for _ in range(args.iterations):
+        acc = np.zeros_like(blur)
+        for ax in (0, 1):
+            for off in range(-w, w + 1):
+                acc += np.roll(blur, off, axis=ax)
+        blur = acc / (2 * (2 * w + 1))
+    out = img + args.scale * blur
+    from ..utils.image import write_exr
+
+    write_exr(args.output, out)
+    return 0
+
+
+def cmd_splitn(args):
+    """Split an image into n x n crops (imgtool splitn)."""
+    img, _ = _load(args.input)
+    n = args.n
+    h, w = img.shape[:2]
+    base = args.input.rsplit(".", 1)[0]
+    from ..utils.image import write_exr
+
+    for j in range(n):
+        for i in range(n):
+            crop = img[j * h // n:(j + 1) * h // n,
+                       i * w // n:(i + 1) * w // n]
+            write_exr(f"{base}-{j}-{i}.exr", crop)
+    print(f"wrote {n * n} crops")
+    return 0
+
+
+def cmd_error_report(args):
+    """MSE/MRSE vs a reference for several test images, sorted
+    (imgtool error-report)."""
+    from ..utils.image import mrse, mse
+
+    ref, _ = _load(args.reference)
+    rows = []
+    for path in args.images:
+        a, _ = _load(path)
+        if a.shape != ref.shape:
+            print(f"{path}: size mismatch", file=sys.stderr)
+            continue
+        rows.append((mse(a, ref), mrse(a, ref), path))
+    rows.sort()
+    for m, mr, path in rows:
+        print(f"{path}: MSE {m:.6g} MRSE {mr:.6g}")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="avrt-imgtool")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -179,6 +255,32 @@ def main(argv=None):
     i.set_defaults(fn=cmd_info)
 
     cat = sub.add_parser("cat", help="print pixel values")
+
+    wb = sub.add_parser("whitebalance", help="adapt illuminant to D65")
+    wb.add_argument("input")
+    wb.add_argument("output")
+    wb.add_argument("--primaries", default="0.3127,0.3290",
+                    help="source white xy")
+
+    bl = sub.add_parser("bloom", help="bloom bright pixels")
+    bl.add_argument("input")
+    bl.add_argument("output")
+    bl.add_argument("--level", type=float, default=1.0)
+    bl.add_argument("--width", type=int, default=8)
+    bl.add_argument("--iterations", type=int, default=3)
+    bl.add_argument("--scale", type=float, default=0.3)
+
+    sn = sub.add_parser("splitn", help="split into n x n crops")
+    sn.add_argument("input")
+    sn.add_argument("-n", type=int, default=2, dest="n")
+
+    er = sub.add_parser("error-report", help="rank images by error vs ref")
+    er.add_argument("reference")
+    er.add_argument("images", nargs="+")
+    wb.set_defaults(fn=cmd_whitebalance)
+    bl.set_defaults(fn=cmd_bloom)
+    sn.set_defaults(fn=cmd_splitn)
+    er.set_defaults(fn=cmd_error_report)
     cat.add_argument("input")
     cat.add_argument("--all", action="store_true")
     cat.set_defaults(fn=cmd_cat)

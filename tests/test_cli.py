@@ -196,3 +196,38 @@ end_header
     p.write_text(txt)
     m = ply.read_ply(str(p))
     assert m["faces"].shape == (2, 3)
+
+
+def test_pspec_blue_noise_deficit():
+    """zsobol's low-frequency power must sit below independent sampling's
+    (the pspec capability, cmd/pspec.cpp)."""
+    from acceleratedvolrenderer_tpu.cli.pspec import (power_spectrum,
+                                                      radial_average)
+
+    si = radial_average(power_spectrum("independent", 32, 32, 8), 8)
+    sz = radial_average(power_spectrum("zsobol", 32, 32, 8), 8)
+    # skip the DC bin; compare the next-lowest frequency bins
+    assert sz[1:3].mean() < si[1:3].mean()
+
+
+def test_imgtool_new_subcommands(tmp_path):
+    import numpy as np
+
+    from acceleratedvolrenderer_tpu.cli import imgtool
+    from acceleratedvolrenderer_tpu.utils.image import read_exr, write_exr
+
+    img = np.zeros((16, 16, 3), np.float32)
+    img[8, 8] = 5.0
+    src = tmp_path / "a.exr"
+    write_exr(str(src), img)
+    out = tmp_path / "b.exr"
+    assert imgtool.main(["bloom", str(src), str(out), "--level", "1"]) == 0
+    bl, _, _ = read_exr(str(out))
+    assert bl[7, 7].sum() > 0        # energy spread to neighbours
+    assert imgtool.main(["whitebalance", str(src), str(out),
+                         "--primaries", "0.4476,0.4074"]) == 0
+    wb, _, _ = read_exr(str(out))
+    assert np.isfinite(wb).all()
+    assert imgtool.main(["splitn", str(src), "-n", "2"]) == 0
+    c, _, _ = read_exr(str(tmp_path / "a-0-0.exr"))
+    assert c.shape[:2] == (8, 8)
