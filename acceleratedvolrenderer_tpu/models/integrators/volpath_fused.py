@@ -61,6 +61,7 @@ from ...ops.dda import (
 )
 from ...ops import grid as gridops
 from ...ops import pallas_gather
+from ...ops import pallas_march
 from ...ops import warps
 from ...utils import vecmath as vmu
 from ...utils.math import ONE_MINUS_EPSILON
@@ -363,8 +364,34 @@ def li(
                                       if regen is None else valid0))
 
     maj_flat = med.majorant.reshape(-1)
+    _maj_size = 1
+    for _d in med.majorant.shape:
+        _maj_size *= int(_d)
 
     def block_substep(c: _Regs, K: int) -> _Regs:
+        if pallas_march.available(_maj_size, N):
+            # ONE Pallas dispatch for the whole K-voxel window: DDA
+            # geometry, majorant gather, and free-flight resolution all in
+            # VMEM (the north-star fused march kernel).  Outputs are
+            # sampling-side quantities -> stop_gradient (the detached
+            # estimator holds sample positions fixed; gradients flow only
+            # through the sigma(x) evaluations in handle_events).
+            hunting = (c.pc != PC_DONE) & ~c.reached & ~c.seg_escaped
+            r = pallas_march.march_block(
+                sg(maj_flat), c.voxel, c.next_t, c.dt, c.step, c.t_exit,
+                c.t_cur, c.dl_target, c.dl_since, c.maxd, hunting,
+                K, (rx, ry, rz))
+            r = {k: sg(v) for k, v in r.items()}
+            return c._replace(
+                voxel=r["voxel"], next_t=r["next_t"], t_cur=r["t_cur"],
+                dl_target=r["dl_target"], dl_since=r["dl_since"],
+                maxd=r["maxd"],
+                reached=c.reached | r["landed"],
+                seg_escaped=c.seg_escaped | r["escaped"],
+            )
+        return _block_substep_xla(c, K)
+
+    def _block_substep_xla(c: _Regs, K: int) -> _Regs:
         """Blocked DDA: advance up to K majorant voxels in ONE pass.
 
         XLA:TPU charges a large fixed dispatch cost per kernel; a

@@ -1,0 +1,221 @@
+"""Pallas TPU kernel: the fused blocked-DDA march step.
+
+This is the hot kernel of the renderer — the north-star "fused Pallas
+ray-march kernel over an HBM-resident density grid" (BASELINE.json): one
+dispatch advances every ray up to K majorant voxels, resolving the
+delta-tracking free-flight target in closed form against the VMEM-resident
+majorant table.  The XLA version of the same logic
+(volpath_fused.block_substep) compiles to ~15 separate fusions whose
+loop-state staging copies dominated the profile; here the whole window is
+one kernel with all intermediates in VMEM/registers.
+
+Semantics are identical to K sequential DDA substeps (media.h:730
+SampleT_maj's majorant iteration, reshaped): see block_substep for the
+estimator-level documentation.  The majorant lookup uses the row-select
+gather (ops.pallas_gather): Mosaic's one vectorized dynamic-gather form is
+take_along_axis(x, i, axis=1) on (M, 128) tiles, so each of the R=V/128
+table rows is broadcast, lane-shuffled, and masked in.
+
+All lane-state arrays are (M, 128) planes (N = M*128 rays); bool flags
+travel as int32 planes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+LANES = 128
+# majorant tables larger than this fall back to the XLA path (the row loop
+# would dominate); 32^3 = 256 rows is the tuned production size
+MAX_TABLE_ROWS = 512
+
+_F_INF = 3.0e38
+
+
+def _gather_rows(table_ref, flat, n_rows):
+    """table[flat] via the row-select trick; flat (M, 128) int32."""
+    row = flat >> 7
+    col = flat & 127
+    m = flat.shape[0]
+
+    def body(r, acc):
+        tab_row = jnp.broadcast_to(table_ref[r, :][None, :], (m, LANES))
+        vals = jnp.take_along_axis(tab_row, col, axis=1)
+        return jnp.where(row == r, vals, acc)
+
+    return jax.lax.fori_loop(0, n_rows, body,
+                             jnp.zeros((m, LANES), table_ref.dtype))
+
+
+def _march_kernel(maj_ref,
+                  vx_ref, vy_ref, vz_ref,
+                  ntx_ref, nty_ref, ntz_ref,
+                  dtx_ref, dty_ref, dtz_ref,
+                  sx_ref, sy_ref, sz_ref,
+                  texit_ref, tcur_ref, dlt_ref, dls_ref,
+                  maxd_ref, hunt_ref,
+                  # outputs
+                  ovx_ref, ovy_ref, ovz_ref,
+                  ontx_ref, onty_ref, ontz_ref,
+                  otcur_ref, odlt_ref, odls_ref, omaxd_ref, oflags_ref,
+                  *, K: int, n_rows: int, rx: int, ry: int, rz: int):
+    vx, vy, vz = vx_ref[:], vy_ref[:], vz_ref[:]
+    ntx, nty, ntz = ntx_ref[:], nty_ref[:], ntz_ref[:]
+    dtx, dty, dtz = dtx_ref[:], dty_ref[:], dtz_ref[:]
+    sx, sy, sz = sx_ref[:], sy_ref[:], sz_ref[:]
+    t_exit = texit_ref[:]
+    s_k = tcur_ref[:]
+    dl_target = dlt_ref[:]
+    hunting = hunt_ref[:] != 0
+    live = hunting
+
+    zf = jnp.zeros_like(s_k)
+    cum = zf
+    landed = jnp.zeros_like(hunting)
+    t_col = zf
+    t_end = s_k
+    maj_snap = zf
+    maxd_last = zf
+    svx, svy, svz = vx, vy, vz
+    sntx, snty, sntz = ntx, nty, ntz
+    live_final = live
+
+    for _ in range(K):
+        end_raw = jnp.minimum(jnp.minimum(ntx, nty), ntz)
+        end_k = jnp.minimum(end_raw, t_exit)
+        len_k = jnp.maximum(end_k - s_k, 0.0)
+        hit_exit = end_raw >= t_exit
+
+        cx = jnp.clip(vx, 0, rx - 1)
+        cy = jnp.clip(vy, 0, ry - 1)
+        cz = jnp.clip(vz, 0, rz - 1)
+        flat = (cz * ry + cy) * rx + cx
+        maj_k = _gather_rows(maj_ref, flat, n_rows)
+
+        dl_k = jnp.where(live_final & (maj_k > 0),
+                         maj_k * jnp.minimum(len_k, _F_INF), 0.0)
+        prev_cum = cum
+        cum = cum + dl_k
+        ok = live_final & (dl_k > 0) & (cum >= dl_target)
+        new_land = ok & ~landed
+        t_col = jnp.where(new_land,
+                          s_k + (dl_target - prev_cum)
+                          / jnp.maximum(maj_k, 1e-30), t_col)
+        maj_snap = jnp.where(new_land, maj_k, maj_snap)
+        svx = jnp.where(new_land, vx, svx)
+        svy = jnp.where(new_land, vy, svy)
+        svz = jnp.where(new_land, vz, svz)
+        sntx = jnp.where(new_land, ntx, sntx)
+        snty = jnp.where(new_land, nty, snty)
+        sntz = jnp.where(new_land, ntz, sntz)
+        landed = landed | ok
+        maxd_last = jnp.where(live_final, maj_k, maxd_last)
+        t_end = jnp.where(live_final, end_k, t_end)
+
+        # advance one voxel (first-min axis preference == jnp.argmin)
+        is_x = (ntx <= nty) & (ntx <= ntz)
+        is_y = ~is_x & (nty <= ntz)
+        is_z = ~is_x & ~is_y
+        vx = jnp.where(is_x, vx + sx, vx)
+        vy = jnp.where(is_y, vy + sy, vy)
+        vz = jnp.where(is_z, vz + sz, vz)
+        ntx = jnp.where(is_x, ntx + dtx, ntx)
+        nty = jnp.where(is_y, nty + dty, nty)
+        ntz = jnp.where(is_z, ntz + dtz, ntz)
+        out = ((vx < 0) | (vx >= rx) | (vy < 0) | (vy >= ry)
+               | (vz < 0) | (vz >= rz))
+        live_final = live_final & ~hit_exit & ~out
+        s_k = end_k
+
+    sel = landed
+    adv = hunting & ~landed
+    escaped = adv & ~live_final
+    dl_tot = jnp.where(hunting, cum, 0.0)
+
+    ovx_ref[:] = jnp.where(sel, svx, jnp.where(adv, vx, vx_ref[:]))
+    ovy_ref[:] = jnp.where(sel, svy, jnp.where(adv, vy, vy_ref[:]))
+    ovz_ref[:] = jnp.where(sel, svz, jnp.where(adv, vz, vz_ref[:]))
+    ontx_ref[:] = jnp.where(sel, sntx, jnp.where(adv, ntx, ntx_ref[:]))
+    onty_ref[:] = jnp.where(sel, snty, jnp.where(adv, nty, nty_ref[:]))
+    ontz_ref[:] = jnp.where(sel, sntz, jnp.where(adv, ntz, ntz_ref[:]))
+    otcur_ref[:] = jnp.where(sel, t_col,
+                             jnp.where(adv, t_end, tcur_ref[:]))
+    odlt_ref[:] = jnp.where(adv, dl_target - dl_tot, dl_target)
+    odls_ref[:] = dls_ref[:] + jnp.where(sel, dl_target,
+                                         jnp.where(adv, dl_tot, 0.0))
+    omaxd_ref[:] = jnp.where(sel, maj_snap,
+                             jnp.where(adv, maxd_last, maxd_ref[:]))
+    oflags_ref[:] = (jnp.where(sel, 1, 0)
+                     + jnp.where(escaped, 2, 0)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _march_call(static_cfg, n_rows, m, maj2d, planes_f, planes_i, hunt):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K, rx, ry, rz = static_cfg
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    i32 = jnp.int32
+    outs = pl.pallas_call(
+        functools.partial(_march_kernel, K=K, n_rows=n_rows,
+                          rx=rx, ry=ry, rz=rz),
+        out_shape=[
+            jax.ShapeDtypeStruct((m, LANES), i32),   # vx
+            jax.ShapeDtypeStruct((m, LANES), i32),   # vy
+            jax.ShapeDtypeStruct((m, LANES), i32),   # vz
+            jax.ShapeDtypeStruct((m, LANES), f32),   # ntx
+            jax.ShapeDtypeStruct((m, LANES), f32),   # nty
+            jax.ShapeDtypeStruct((m, LANES), f32),   # ntz
+            jax.ShapeDtypeStruct((m, LANES), f32),   # t_cur
+            jax.ShapeDtypeStruct((m, LANES), f32),   # dl_target
+            jax.ShapeDtypeStruct((m, LANES), f32),   # dl_since
+            jax.ShapeDtypeStruct((m, LANES), f32),   # maxd
+            jax.ShapeDtypeStruct((m, LANES), i32),   # flags
+        ],
+        in_specs=[vmem] * 19,
+        out_specs=[vmem] * 11,
+    )(maj2d, *planes_i[:3], *planes_f[:3], *planes_f[3:6],
+      *planes_i[3:6], *planes_f[6:10], planes_f[10], hunt)
+    return outs
+
+
+def available(majorant_size: int, n: int) -> bool:
+    return (jax.default_backend() == "tpu"
+            and majorant_size % LANES == 0
+            and 0 < majorant_size <= MAX_TABLE_ROWS * LANES
+            and n % LANES == 0)
+
+
+def march_block(majorant, voxel, next_t, dt, step, t_exit, t_cur,
+                dl_target, dl_since, maxd_in, hunting, K, maj_res):
+    """Fused march: see _march_kernel.  All per-lane args are (N,) / (N, 3)
+    jnp arrays; returns dict with updated voxel/next_t/t_cur/dl_target/
+    dl_since/maxd plus landed/escaped masks."""
+    rx, ry, rz = maj_res
+    n = t_cur.shape[0]
+    m = n // LANES
+    p = lambda a: a.reshape(m, LANES)
+    pi = lambda a: a.astype(jnp.int32).reshape(m, LANES)
+    planes_f = [p(next_t[:, 0]), p(next_t[:, 1]), p(next_t[:, 2]),
+                p(dt[:, 0]), p(dt[:, 1]), p(dt[:, 2]),
+                p(t_exit), p(t_cur), p(dl_target), p(dl_since),
+                p(maxd_in)]
+    planes_i = [pi(voxel[:, 0]), pi(voxel[:, 1]), pi(voxel[:, 2]),
+                pi(step[:, 0]), pi(step[:, 1]), pi(step[:, 2])]
+    maj2d = majorant.reshape(-1, LANES)
+    outs = _march_call((int(K), int(rx), int(ry), int(rz)),
+                       maj2d.shape[0], m, maj2d, planes_f, planes_i,
+                       pi(hunting))
+    u = lambda a: a.reshape(n)
+    flags = u(outs[10])
+    return dict(
+        voxel=jnp.stack([u(outs[0]), u(outs[1]), u(outs[2])], -1),
+        next_t=jnp.stack([u(outs[3]), u(outs[4]), u(outs[5])], -1),
+        t_cur=u(outs[6]), dl_target=u(outs[7]), dl_since=u(outs[8]),
+        maxd=u(outs[9]),
+        landed=(flags & 1) != 0, escaped=(flags & 2) != 0,
+    )

@@ -67,12 +67,11 @@ def cloud(width=1280, height=720, spp=16, max_depth=40, grid_res=256,
         bounds_lo=np.array([-half, -half, -half], np.float32),
         bounds_hi=np.array([half, half, half], np.float32),
         # majorant resolution is a perf knob, not semantics (the estimator
-        # is unbiased for any majorant >= density).  Reference: 16^3 for
-        # GridMedium (media.cpp:229), 64^3 for NanoVDB (media.cpp:521).
-        # 32^3 measured fastest on TPU: small enough that XLA's per-
-        # iteration VMEM staging of the table is ~free, tight enough to
-        # keep null-collision counts low.
-        majorant_res=(32, 32, 32),
+        # is unbiased for any majorant >= density).  16^3 matches the
+        # reference's GridMedium build (media.cpp:229) AND is fastest here:
+        # the Pallas march kernel's row-select majorant gather scales with
+        # table rows (16^3 = 32 rows of 128 lanes).
+        majorant_res=(16, 16, 16),
     )
     # camera from disney-cloud-720p.exr worldToCamera metadata
     w2c = np.array([
