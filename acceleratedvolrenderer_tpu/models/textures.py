@@ -123,3 +123,179 @@ class ImageTexture:
         if C == 1:
             out = out[..., 0]
         return out
+
+
+# ---------------------------------------------------------------------------
+# Noise textures (textures.h: FBmTexture, WrinkledTexture, WindyTexture,
+# MarbleTexture, DotsTexture, BilerpTexture).  Perlin-gradient noise with a
+# hashed permutation replaces the reference's static table (util/math.cpp
+# Noise) — same octave/omega fractal knobs.
+# ---------------------------------------------------------------------------
+
+def _hash3(ix, iy, iz):
+    h = (ix.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+         ^ iy.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+         ^ iz.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+    h ^= h >> 15
+    h *= jnp.uint32(0x2C1B3C6D)
+    h ^= h >> 12
+    return h
+
+
+def _grad(ix, iy, iz, fx, fy, fz):
+    h = _hash3(ix, iy, iz) & 15
+    u = jnp.where(h < 8, fx, fy)
+    v = jnp.where(h < 4, fy, jnp.where((h == 12) | (h == 14), fx, fz))
+    return (jnp.where(h & 1 == 0, u, -u)
+            + jnp.where(h & 2 == 0, v, -v))
+
+
+def perlin_noise(p):
+    """Gradient noise at points p (..., 3) -> (...,) in ~[-1, 1]."""
+    pi = jnp.floor(p)
+    pf = p - pi
+    ix = pi[..., 0].astype(jnp.int32)
+    iy = pi[..., 1].astype(jnp.int32)
+    iz = pi[..., 2].astype(jnp.int32)
+    fx, fy, fz = pf[..., 0], pf[..., 1], pf[..., 2]
+
+    def fade(t):
+        return t * t * t * (t * (t * 6 - 15) + 10)
+
+    wx, wy, wz = fade(fx), fade(fy), fade(fz)
+    n = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            n00 = _grad(ix, iy + dy, iz + dz, fx, fy - dy, fz - dz)
+            n10 = _grad(ix + 1, iy + dy, iz + dz, fx - 1, fy - dy, fz - dz)
+            nx = n00 + wx * (n10 - n00)
+            if dy == 0:
+                ny0 = nx
+            else:
+                ny = ny0 + wy * (nx - ny0)
+                if dz == 0:
+                    nz0 = ny
+                else:
+                    n = nz0 + wz * (ny - nz0)
+    return n
+
+
+def fbm(p, octaves: int = 6, omega: float = 0.5):
+    """Fractional Brownian motion (util/math.cpp FBm)."""
+    total = 0.0
+    lam, o = 1.0, 1.0
+    for _ in range(octaves):
+        total = total + o * perlin_noise(p * lam)
+        lam *= 1.99
+        o *= omega
+    return total
+
+
+def turbulence(p, octaves: int = 6, omega: float = 0.5):
+    """Sum of |noise| octaves (util/math.cpp Turbulence)."""
+    total = 0.0
+    lam, o = 1.0, 1.0
+    for _ in range(octaves):
+        total = total + o * jnp.abs(perlin_noise(p * lam))
+        lam *= 1.99
+        o *= omega
+    return total
+
+
+def _uv3(uv, scale):
+    return jnp.stack([uv[..., 0] * scale, uv[..., 1] * scale,
+                      jnp.zeros_like(uv[..., 0])], -1)
+
+
+@dataclass(frozen=True)
+class FBmTexture:
+    octaves: int = 6
+    omega: float = 0.5
+    scale: float = 8.0
+
+    def eval(self, uv):
+        return fbm(_uv3(uv, self.scale), self.octaves, self.omega)
+
+
+@dataclass(frozen=True)
+class WrinkledTexture:
+    octaves: int = 6
+    omega: float = 0.5
+    scale: float = 8.0
+
+    def eval(self, uv):
+        return turbulence(_uv3(uv, self.scale), self.octaves, self.omega)
+
+
+@dataclass(frozen=True)
+class WindyTexture:
+    """textures.h WindyTexture: low-frequency wind strength modulating
+    higher-frequency waves."""
+    scale: float = 8.0
+
+    def eval(self, uv):
+        p = _uv3(uv, self.scale)
+        strength = jnp.abs(fbm(0.1 * p, 3, 0.5))
+        height = fbm(p, 6, 0.5)
+        return strength * jnp.abs(height)
+
+
+@dataclass(frozen=True)
+class MarbleTexture:
+    """textures.h MarbleTexture: sin-warped fbm mapped through a color
+    spline; returns (N, 3) rgb."""
+    scale: float = 4.0
+    variation: float = 0.2
+    octaves: int = 6
+    omega: float = 0.5
+
+    def eval(self, uv):
+        p = _uv3(uv, self.scale)
+        t = 0.5 + 0.5 * jnp.sin(
+            self.scale * uv[..., 1]
+            + self.variation * fbm(p, self.octaves, self.omega) * 10.0)
+        c = jnp.asarray([
+            [0.58, 0.58, 0.6], [0.58, 0.58, 0.6], [0.58, 0.58, 0.6],
+            [0.5, 0.5, 0.5], [0.6, 0.59, 0.58], [0.58, 0.58, 0.6],
+            [0.58, 0.58, 0.6], [0.2, 0.2, 0.33], [0.58, 0.58, 0.6],
+        ])
+        k = t * (len(c) - 1)
+        i0 = jnp.clip(k.astype(jnp.int32), 0, len(c) - 2)
+        f = (k - i0)[..., None]
+        return c[i0] * (1 - f) + c[i0 + 1] * f
+
+
+@dataclass(frozen=True)
+class DotsTexture:
+    """textures.h DotsTexture: polka dots with hashed per-cell centers."""
+    inside: float = 1.0
+    outside: float = 0.0
+    scale: float = 8.0
+
+    def eval(self, uv):
+        su = uv[..., 0] * self.scale
+        sv = uv[..., 1] * self.scale
+        cu = jnp.floor(su).astype(jnp.int32)
+        cv = jnp.floor(sv).astype(jnp.int32)
+        h = _hash3(cu, cv, jnp.zeros_like(cu))
+        has_dot = (h & 0xFF) < 128
+        cx = cu + 0.35 + 0.3 * ((h >> 8) & 0xFF).astype(jnp.float32) / 255.0
+        cy = cv + 0.35 + 0.3 * ((h >> 16) & 0xFF).astype(jnp.float32) / 255.0
+        r = 0.35 * ((h >> 24) & 0xFF).astype(jnp.float32) / 255.0 + 0.1
+        inside = has_dot & ((su - cx) ** 2 + (sv - cy) ** 2 < r * r)
+        return jnp.where(inside, self.inside, self.outside)
+
+
+@dataclass(frozen=True)
+class BilerpTexture:
+    """textures.h BilerpTexture: bilinear blend of four corner values."""
+    v00: float = 0.0
+    v01: float = 1.0
+    v10: float = 0.0
+    v11: float = 1.0
+
+    def eval(self, uv):
+        u = jnp.clip(uv[..., 0], 0.0, 1.0)
+        v = jnp.clip(uv[..., 1], 0.0, 1.0)
+        return ((1 - u) * (1 - v) * self.v00 + (1 - u) * v * self.v01
+                + u * (1 - v) * self.v10 + u * v * self.v11)
