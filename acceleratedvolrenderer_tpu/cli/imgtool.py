@@ -213,6 +213,32 @@ def cmd_error_report(args):
     return 0
 
 
+def cmd_makesky(args):
+    """Analytic daylight sky environment map (imgtool makesky; Preetham
+    model standing in for the vendored Hosek-Wilkie dataset)."""
+    from ..utils.image import write_exr
+    from ..utils.sky import make_sky_image
+
+    img = make_sky_image(resolution=args.resolution,
+                         elevation_deg=args.elevation,
+                         turbidity=args.turbidity)
+    write_exr(args.outfile, img)
+    print(f"wrote {args.outfile}")
+    return 0
+
+
+def cmd_makeequiarea(args):
+    """Equirect -> equal-area octahedral env map (imgtool makeequiarea)."""
+    from ..utils.image import write_exr
+    from ..utils.sky import lat_long_to_equal_area
+
+    img, _ = _load(args.input)
+    out = lat_long_to_equal_area(img, args.resolution)
+    write_exr(args.outfile, out)
+    print(f"wrote {args.outfile}")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="avrt-imgtool")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -277,6 +303,19 @@ def main(argv=None):
     er = sub.add_parser("error-report", help="rank images by error vs ref")
     er.add_argument("reference")
     er.add_argument("images", nargs="+")
+
+    mk = sub.add_parser("makesky", help="analytic daylight sky EXR")
+    mk.add_argument("--outfile", default="sky.exr")
+    mk.add_argument("--elevation", type=float, default=10.0)
+    mk.add_argument("--turbidity", type=float, default=3.0)
+    mk.add_argument("--resolution", type=int, default=512)
+    mk.set_defaults(fn=cmd_makesky)
+
+    me = sub.add_parser("makeequiarea", help="equirect -> equal-area octahedral")
+    me.add_argument("input")
+    me.add_argument("--outfile", default="equiarea.exr")
+    me.add_argument("--resolution", type=int, default=None)
+    me.set_defaults(fn=cmd_makeequiarea)
     wb.set_defaults(fn=cmd_whitebalance)
     bl.set_defaults(fn=cmd_bloom)
     sn.set_defaults(fn=cmd_splitn)

@@ -231,3 +231,32 @@ def test_imgtool_new_subcommands(tmp_path):
     assert imgtool.main(["splitn", str(src), "-n", "2"]) == 0
     c, _, _ = read_exr(str(tmp_path / "a-0-0.exr"))
     assert c.shape[:2] == (8, 8)
+
+
+def test_makesky_and_mapping(tmp_path):
+    import numpy as np
+
+    from acceleratedvolrenderer_tpu.cli import imgtool
+    from acceleratedvolrenderer_tpu.utils.image import read_exr
+    from acceleratedvolrenderer_tpu.utils.sky import (
+        equal_area_sphere_to_square, equal_area_square_to_sphere)
+
+    # mapping round trip + unit vectors
+    rng = np.random.default_rng(0)
+    uv = rng.random((256, 2))
+    d = equal_area_square_to_sphere(uv)
+    assert np.allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-6)
+    uv2 = equal_area_sphere_to_square(d)
+    assert np.allclose(uv, uv2, atol=1e-5)
+
+    out = tmp_path / "sky.exr"
+    rc = imgtool.main(["makesky", "--outfile", str(out),
+                       "--resolution", "64", "--elevation", "30"])
+    assert rc == 0
+    img, _, _ = read_exr(str(out))
+    assert np.isfinite(img).all() and img.max() > 0
+    # sky is brighter toward the sun's half and black below horizon
+    d = equal_area_square_to_sphere(
+        np.stack(np.meshgrid(*[(np.arange(64) + .5) / 64] * 2), -1))
+    below = d[..., 2] < -0.1
+    assert img[below].max() < 1e-6
