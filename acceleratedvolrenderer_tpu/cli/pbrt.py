@@ -42,6 +42,12 @@ def main(argv=None):
     ap.add_argument("--mse-reference-image", default=None,
                     help="EXR to compute MSE against (stored in output metadata)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--debugstart", default=None, metavar="X,Y,S",
+                    help="deterministic replay of one pixel sample: render "
+                         "only pixel (x, y) sample s and print its radiance "
+                         "(the reference's --debugstart, "
+                         "cpu/integrators.cpp:73-93 — trivially exact here "
+                         "because RNG streams are keyed by (pixel, sample))")
     ap.add_argument("--res", default=None, help="override WxH, e.g. 640x360")
     args = ap.parse_args(argv)
 
@@ -91,6 +97,21 @@ def main(argv=None):
     from ..parallel import render as render_mod
 
     t0 = time.time()
+    if args.debugstart:
+        import numpy as np
+
+        from ..parallel import render as render_mod
+
+        x, y, sidx = (int(v) for v in args.debugstart.split(","))
+        # render the full frame program but with a single-sample film and
+        # read back just the requested pixel (replay is exact: the sample's
+        # RNG stream depends only on (pixel, sample))
+        img, _ = render_mod.render_regen(scene, spp=sidx + 1) \
+            if scene.medium is not None else render_mod.render(scene, spp=sidx + 1)
+        print(json.dumps({"pixel": [x, y], "sample": sidx,
+                          "rgb_mean_up_to_sample": [float(v) for v in img[y, x]]}))
+        return 0
+
     if args.integrator == "graph":
         if not args.graph_data:
             ap.error("--integrator graph requires --graph-data")
