@@ -364,6 +364,10 @@ def li(
                                       if regen is None else valid0))
 
     maj_flat = med.majorant.reshape(-1)
+    dens_flat = med.density.reshape(-1)
+    dens_dims = tuple(int(x) for x in med.density.shape)
+    dens_s_flat = (med.density_s.reshape(-1)
+                   if med.density_s is not None else None)
     _maj_size = 1
     for _d in med.majorant.shape:
         _maj_size *= int(_d)
@@ -499,11 +503,11 @@ def li(
         else:
             p_w = c.so + c.t_cur[:, None] * c.sd
             p_m = world_to_medium(med.w2m, p_w)
-            dens = gridops.trilerp(med.density, p_m)
+            dens = gridops.trilerp_flat(dens_flat, dens_dims, p_m)
             # decision/pdf-side density: frozen copy when provided (the
             # detached estimator's sampling distribution), else sg(same)
-            dens_d = sg(dens if med.density_s is None
-                        else gridops.trilerp(med.density_s, p_m))
+            dens_d = sg(dens if dens_s_flat is None
+                        else gridops.trilerp_flat(dens_s_flat, dens_dims, p_m))
         maxd = c.maxd   # majorant of the collision voxel, cached by substep
         if rgb_mode:
             from ...utils import spectrum as _sp

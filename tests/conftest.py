@@ -30,3 +30,18 @@ try:
     jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 except Exception:
     pass
+
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables (and the grid constants they pin) after
+    each test module — the full suite otherwise accumulates >30 GB of
+    live XLA programs and grinds into memory pressure."""
+    yield
+    jax.clear_caches()
+    gc.collect()
