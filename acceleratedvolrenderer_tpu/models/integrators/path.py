@@ -86,8 +86,17 @@ def _mat_param_row(m, lam, uv, N):
     kind = getattr(m, "kind", materials_mod.KIND_DIFFUSE)
     ed = getattr(m, "eta", 1.5)
     r = getattr(m, "roughness", 0.0)
+    if kind == materials_mod.KIND_SUBSURFACE:
+        ss_albedo = jnp.broadcast_to(
+            jnp.asarray(m.reflectance_rgb, jnp.float32), (N, 3))
+        ss_ell = jnp.broadcast_to(
+            jnp.asarray(m.mfp_rgb, jnp.float32), (N, 3))
+    else:
+        ss_albedo = jnp.zeros((N, 3))
+        ss_ell = jnp.full((N, 3), 1e-3)
     return dict(
         kind=jnp.full((N,), int(kind), jnp.int32),
+        ss_albedo=ss_albedo, ss_ell=ss_ell,
         albedo=materials_mod._eval_spectral(
             getattr(m, "reflectance", None), lam, uv),
         refl=materials_mod._eval_spectral(
@@ -264,6 +273,34 @@ def li_path(
         prm = {k: _take(v, mid) for k, v in prm_stacks.items()
                if k not in ("kind", "emissive")}
         emissive_mask = jnp.asarray(prm_stacks["emissive"])[mid]
+
+        # --- subsurface scattering (SeparableBSSRDF exit sampling,
+        # cpu/integrators.cpp:526-592 reshaped): a subsurface hit teleports
+        # to a profile-sampled exit vertex on the same primitive and
+        # continues as a Lambertian vertex whose albedo carries the
+        # (1 - F(wo)) entry factor and the channel-MIS profile weight ---
+        is_ss = surf & (kind_ids == materials_mod.KIND_SUBSURFACE)
+        if bool(np.any([getattr(pp.material, "kind", 0)
+                        == materials_mod.KIND_SUBSURFACE
+                        for pp in opaque])):
+            from .. import bssrdf as bssrdf_mod
+            from ...utils import spectrum as _spu
+
+            u_ch = src.next(is_ss)
+            u_r = src.next(is_ss)
+            u_phi = src.next(is_ss)
+            n_entry = vmu.face_forward(hit.n, wo)
+            exit_p, exit_n, w_rgb, _found = bssrdf_mod.sample_exit(
+                opaque, mid, p_hit, n_entry, prm["ss_albedo"],
+                prm["ss_ell"], u_ch, u_r, u_phi)
+            cos_o = jnp.abs(vmu.dot(n_entry, wo))
+            f_o = bxdfs.fresnel_dielectric(cos_o, prm["eta_d"])
+            w_spec = _spu.rgb_to_spectrum_smits_batched(
+                jnp.clip(w_rgb, 0.0, None), lam) * (1.0 - f_o)[:, None]
+            p_hit = jnp.where(is_ss[:, None], exit_p, p_hit)
+            hit = hit._replace(n=jnp.where(is_ss[:, None], exit_n, hit.n))
+            prm["albedo"] = jnp.where(is_ss[:, None], w_spec, prm["albedo"])
+            kind_ids = jnp.where(is_ss, materials_mod.KIND_DIFFUSE, kind_ids)
 
         # --- emissive hit (one-sided), MIS vs NEE of the area light ---
         front = vmu.dot(hit.n, wo) > 0

@@ -31,6 +31,7 @@ KIND_DIELECTRIC = 2
 KIND_THIN_DIELECTRIC = 3
 KIND_DIFFUSE_TRANSMISSION = 4
 KIND_COATED_DIFFUSE = 5
+KIND_SUBSURFACE = 6
 
 
 def _eval_spectral(value, lam, uv=None):
@@ -183,3 +184,25 @@ class MixMaterial:
     @property
     def kind(self):
         return getattr(self.m1, "kind", KIND_DIFFUSE)
+
+
+@dataclass(frozen=True)
+class SubsurfaceMaterial:
+    """Subsurface scattering material (materials.h subsurface +
+    bssrdf.{h,cpp}): normalized-diffusion BSSRDF parameterized directly by
+    diffuse reflectance + mean free path per RGB channel (pbrt's
+    "reflectance"/"mfp" parameterization).  Exit sampling + weighting in
+    models/bssrdf.py; wired through the path integrator as a
+    teleport-to-exit Lambertian vertex."""
+    reflectance_rgb: tuple = (0.5, 0.5, 0.5)
+    mfp_rgb: tuple = (0.01, 0.01, 0.01)
+    eta: float = 1.33
+    emission: Optional[Callable] = None
+    emission_scale: float = 1.0
+
+    kind = KIND_SUBSURFACE
+    reflectance = 0.5   # placeholder for the generic albedo gather
+
+    @property
+    def emissive(self) -> bool:
+        return self.emission is not None

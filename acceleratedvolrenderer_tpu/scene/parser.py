@@ -519,6 +519,15 @@ class PbrtParser:
             return mats.CoatedDiffuseMaterial(
                 reflectance=spec("reflectance", 0.5),
                 eta=flt("eta", 1.5), roughness=flt("roughness", 0.0))
+        if kind == "subsurface":
+            def rgb3(name, default):
+                if name in params:
+                    return tuple(_floats(params[name][1]))
+                return (default,) * 3
+
+            return mats.SubsurfaceMaterial(
+                reflectance_rgb=rgb3("reflectance", 0.5),
+                mfp_rgb=rgb3("mfp", 0.01), eta=flt("eta", 1.33))
         if kind == "mix":
             names = [v.strip('"') for v in
                      params.get("materials", (None, []))[1]]
