@@ -36,6 +36,9 @@ def main(argv=None):
                     help="widen near-specular BSDFs after the first bounce")
     ap.add_argument("--graph-data", default=None,
                     help="precomputed graph file (.txt or .npz) for --integrator graph")
+    ap.add_argument("--graph-debug", action="store_true",
+                    help="visualize the uniform graph's cache voxels instead "
+                         "of rendering (graph_integrator.cpp:104-131)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--stats", action="store_true", help="print render statistics")
     ap.add_argument("--write-png", action="store_true")
@@ -112,7 +115,30 @@ def main(argv=None):
                           "rgb_mean_up_to_sample": [float(v) for v in img[y, x]]}))
         return 0
 
-    if args.integrator == "graph":
+    if args.integrator == "graph" and args.graph_debug:
+        import time as _time
+
+        from ..graph.model import Graph
+        from ..models.integrators import graph as graph_mod
+
+        assert args.graph_data, "--graph-debug requires --graph-data"
+        graph = (Graph.read_npz(args.graph_data)
+                 if args.graph_data.endswith(".npz")
+                 else Graph.read_text(args.graph_data))
+        if getattr(graph, "kind", "free") != "uniform":
+            import numpy as _np
+
+            ext = graph.positions.max(0) - graph.positions.min(0)
+            graph = graph.to_uniform(
+                max(float(_np.linalg.norm(ext)) / 64.0,
+                    graph.vertex_radius * 2.0))
+        uindex = graph_mod.build_uniform_index(graph)
+        t0 = _time.time()
+        img = graph_mod.debug_image(uindex, scene.camera, scene.width,
+                                    scene.height)
+        stats = {"render_time": _time.time() - t0, "spp": 1,
+                 "rays_per_sec": 0.0}
+    elif args.integrator == "graph":
         if not args.graph_data:
             ap.error("--integrator graph requires --graph-data")
         from ..graph.model import Graph

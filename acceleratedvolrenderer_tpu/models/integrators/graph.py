@@ -150,3 +150,109 @@ def li(
         0.0,
     )
     return L
+
+
+# ---------------------------------------------------------------------------
+# UniformGraph render path (graph_integrator.cpp:138-177) + --graph-debug
+# voxel visualization (:104-131)
+# ---------------------------------------------------------------------------
+
+class UniformIndex(NamedTuple):
+    """Dense voxel lookup for a uniform (lattice-quantized) graph."""
+    light: jnp.ndarray     # (nz, ny, nx) light scalar, 0 = empty
+    occupied: jnp.ndarray  # (nz, ny, nx) bool
+    lo: jnp.ndarray        # (3,) lattice origin (cell 0 corner), world
+    spacing: float
+    dims: tuple
+
+
+def build_uniform_index(graph: Graph) -> UniformIndex:
+    assert graph.kind == "uniform" and graph.spacing, \
+        "build_uniform_index needs a uniform graph (Graph.to_uniform)"
+    coors = graph.coors if graph.coors is not None else np.floor(
+        graph.positions / graph.spacing).astype(np.int32)
+    lo = coors.min(axis=0)
+    dims = (coors.max(axis=0) - lo + 1).astype(int)
+    nx, ny, nz = int(dims[0]), int(dims[1]), int(dims[2])
+    light = np.zeros((nz, ny, nx), np.float32)
+    occ = np.zeros((nz, ny, nx), bool)
+    c = coors - lo
+    ls = (graph.light_scalar if graph.light_scalar is not None
+          else np.zeros(graph.n_vertices, np.float32))
+    light[c[:, 2], c[:, 1], c[:, 0]] = ls
+    occ[c[:, 2], c[:, 1], c[:, 0]] = True
+    return UniformIndex(
+        light=jnp.asarray(light), occupied=jnp.asarray(occ),
+        lo=jnp.asarray(lo.astype(np.float32) * graph.spacing),
+        spacing=float(graph.spacing), dims=(nx, ny, nz))
+
+
+def connect_uniform(index: UniformIndex, p):
+    """Voxel lookup at scatter points (graph_integrator.cpp:138-177):
+    the cache value of the cell containing p (no radius search)."""
+    nx, ny, nz = index.dims
+    ci = jnp.floor((p - index.lo) / index.spacing).astype(jnp.int32)
+    ok = jnp.all((ci >= 0) & (ci < jnp.asarray([nx, ny, nz])), axis=-1)
+    cx = jnp.clip(ci[..., 0], 0, nx - 1)
+    cy = jnp.clip(ci[..., 1], 0, ny - 1)
+    cz = jnp.clip(ci[..., 2], 0, nz - 1)
+    found = ok & index.occupied[cz, cy, cx]
+    return jnp.where(found, index.light[cz, cy, cx], 0.0), found
+
+
+def li_uniform(med, uindex: UniformIndex, light_spectrum, o, d, lam, rng, *,
+               maj_res, homogeneous: bool, max_march_steps: int = 100000):
+    """Accelerated Li over a uniform graph: delta-track to the first real
+    scatter, then a voxel lookup."""
+    N = o.shape[0]
+    LANES = lam.shape[-1]
+    ones = jnp.ones((N, LANES))
+    res = dda.delta_track(
+        med, o, d, jnp.full((N,), jnp.inf), ones, ones, ones, rng,
+        jnp.ones((N,), bool), maj_res, collect_emission=False,
+        homogeneous=homogeneous, max_steps=max_march_steps,
+    )
+    sc = res.event == dda.EVT_SCATTER
+    p = o + res.t_event[:, None] * d
+    scalar, found = connect_uniform(uindex, p)
+    return jnp.where((sc & found)[:, None],
+                     res.beta * light_spectrum * scalar[:, None], 0.0)
+
+
+def debug_image(uindex: UniformIndex, camera, width: int, height: int,
+                max_steps: int = 4096):
+    """--graph-debug voxel visualization (graph_integrator.cpp:104-131):
+    camera rays march the uniform lattice at half-cell steps (bounded by
+    a slab test against the lattice box); each pixel shows the cache value
+    of the first occupied voxel crossed."""
+    ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    pix = jnp.asarray(np.stack([xs.reshape(-1), ys.reshape(-1)], -1),
+                      jnp.int32)
+    N = width * height
+    o, d = camera.generate_rays(pix, jnp.full((N, 2), 0.5), None)
+    nx, ny, nz = uindex.dims
+    lo = uindex.lo
+    hi = lo + jnp.asarray([nx, ny, nz], jnp.float32) * uindex.spacing
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
+    t0s = (lo - o) * inv
+    t1s = (hi - o) * inv
+    t_in = jnp.max(jnp.minimum(t0s, t1s), axis=-1)
+    t_out = jnp.min(jnp.maximum(t0s, t1s), axis=-1)
+    t_in = jnp.maximum(t_in, 0.0)
+    step = uindex.spacing * 0.5
+    n_steps = int(min(max_steps, np.linalg.norm([nx, ny, nz]) * 2 + 16))
+
+    def body(i, carry):
+        val, seen = carry
+        t = t_in + (i + 0.5) * step
+        p = o + t[:, None] * d
+        sval, f = connect_uniform(uindex, p)
+        inside = t <= t_out
+        val = jnp.where(~seen & f & inside, sval, val)
+        seen = seen | (f & inside)
+        return val, seen
+
+    val, _ = jax.lax.fori_loop(
+        0, n_steps, body, (jnp.zeros((N,)), jnp.zeros((N,), bool)))
+    img = np.asarray(val).reshape(height, width)
+    return np.repeat(img[:, :, None], 3, axis=2).astype(np.float32)

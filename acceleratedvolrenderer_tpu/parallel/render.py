@@ -362,7 +362,11 @@ def make_graph_wave_renderer(scene, graph):
     homogeneous = med_spec.homogeneous
     maj_res = med_spec.maj_res()
     filt = scene.filter
-    index = graph_integrator.build_connect_index(graph)
+    # UniformGraph renders with voxel lookups; FreeGraph with the radius-
+    # escalated weighted search (graph_integrator.cpp:138-177 vs :249-280)
+    uniform = getattr(graph, "kind", "free") == "uniform"
+    index = (graph_integrator.build_uniform_index(graph) if uniform
+             else graph_integrator.build_connect_index(graph))
     light = next(lt for lt in scene.lights if lt.is_delta)
 
     if not homogeneous:
@@ -404,7 +408,9 @@ def make_graph_wave_renderer(scene, graph):
             Le=jnp.zeros_like(swl.lam),
         )
         light_spec = light.spectrum(swl.lam) * light.scale
-        L = graph_integrator.li(
+        li_fn = (graph_integrator.li_uniform if uniform
+                 else graph_integrator.li)
+        L = li_fn(
             med, index, light_spec, o, d, swl.lam, rng,
             maj_res=maj_res, homogeneous=homogeneous,
             max_march_steps=scene.max_march_steps,

@@ -163,3 +163,37 @@ def test_build_and_light_and_render():
     lit_r = img_ref.mean(axis=-1) > 0.001
     overlap = (lit_g & lit_r).sum() / max(lit_r.sum(), 1)
     assert overlap > 0.5, overlap
+
+
+def test_uniform_graph_render_and_debug():
+    """UniformGraph voxel-lookup rendering + --graph-debug visualization
+    (graph_integrator.cpp:104-177)."""
+    import numpy as np
+
+    from acceleratedvolrenderer_tpu.graph.builder import FreeGraphBuilder
+    from acceleratedvolrenderer_tpu.graph.config import GraphBuilderConfig
+    from acceleratedvolrenderer_tpu.graph.lighting import LightingCalculator
+    from acceleratedvolrenderer_tpu.graph.config import LightingCalculatorConfig
+    from acceleratedvolrenderer_tpu.models.integrators import graph as gi
+    from acceleratedvolrenderer_tpu.parallel import render as render_mod
+    from acceleratedvolrenderer_tpu.scene import presets
+
+    sc = presets.sphere_medium(res=12, height=12, spp=2, max_depth=3)
+    light_dir = np.array([0.0, -1.0, 0.0])
+    g = FreeGraphBuilder(sc.medium, light_dir,
+                         GraphBuilderConfig(dimension_steps=6,
+                                            iterations_per_step=2),
+                         seed=1).build()
+    g = LightingCalculator(g, sc.medium, light_dir,
+                           LightingCalculatorConfig(), seed=1).run()
+    ug = g.to_uniform(0.05)   # ~20^3 lattice over the unit medium
+    assert ug.kind == "uniform" and ug.n_vertices > 0
+
+    img, stats = render_mod.render_graph(sc, ug)
+    assert np.isfinite(img).all()
+
+    uindex = gi.build_uniform_index(ug)
+    dbg = gi.debug_image(uindex, sc.camera, 12, 12)
+    assert dbg.shape == (12, 12, 3)
+    assert np.isfinite(dbg).all()
+    assert dbg.max() > 0     # the medium occupies the view
