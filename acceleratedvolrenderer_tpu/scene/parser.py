@@ -377,9 +377,46 @@ class PbrtParser:
         elif kind == "infinite":
             Lt, Lv = params.get("L", ("rgb", ["1", "1", "1"]))
             spec = _to_spectrum(Lt, Lv)
+            img = None
             if "filename" in params:
-                warnings.warn("image infinite light approximated as uniform")
-            self.lights.append(lm.UniformInfiniteLight(spectrum=spec, scale=scale))
+                fn = params["filename"][1][0].strip('"')
+                try:
+                    from ..utils import image as im
+
+                    img, _meta = im.read_image(fn)
+                except Exception as e:   # missing/unsupported file
+                    warnings.warn(f"infinite light image '{fn}': {e}; "
+                                  "falling back to uniform")
+            if img is not None and "portal" in params:
+                pv = _floats(params["portal"][1])
+                portal = np.asarray(pv, np.float64).reshape(4, 3)
+                portal = np.stack([xf_point(list(q)) for q in portal])
+                mapping = ("equalarea" if img.shape[0] == img.shape[1]
+                           else "equirect")
+                self.lights.append(lm.PortalImageInfiniteLight(
+                    img, portal, scale=scale, mapping=mapping))
+            elif img is not None:
+                if img.shape[0] == img.shape[1]:
+                    # pbrt-v4 equal-area octahedral env map -> equirect
+                    from ..utils import sky as _sky
+
+                    H = img.shape[0]
+                    th = (np.arange(H) + 0.5) / H * np.pi
+                    ph = (np.arange(2 * H) + 0.5) / (2 * H) * 2 * np.pi
+                    tt, pp = np.meshgrid(th, ph, indexing="ij")
+                    st = np.sin(tt)
+                    d = np.stack([st * np.cos(pp), st * np.sin(pp),
+                                  np.cos(tt)], -1)
+                    uv = _sky.equal_area_sphere_to_square(d)
+                    sx = np.clip((uv[..., 0] * img.shape[1]).astype(np.int64),
+                                 0, img.shape[1] - 1)
+                    sy = np.clip((uv[..., 1] * img.shape[0]).astype(np.int64),
+                                 0, img.shape[0] - 1)
+                    img = img[sy, sx]
+                self.lights.append(lm.ImageInfiniteLight(img, scale=scale))
+            else:
+                self.lights.append(
+                    lm.UniformInfiniteLight(spectrum=spec, scale=scale))
         elif kind == "point":
             It, Iv = params.get("I", ("rgb", ["1", "1", "1"]))
             spec = _to_spectrum(It, Iv)

@@ -303,3 +303,20 @@ def mrse(a: np.ndarray, b: np.ndarray, eps: float = 1e-2) -> float:
 
 def mae(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.mean(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))))
+
+
+def read_image(path: str):
+    """Generic loader -> (rgb (H, W, 3) float32, attrs dict).  EXR via the
+    native reader; PNG/JPG via PIL with sRGB -> linear decode (matches
+    Image::Read's LinearColorEncoding handling, util/image.cpp)."""
+    if path.endswith(".exr"):
+        img, _names, attrs = read_exr(path)
+        return np.asarray(img[:, :, :3], np.float32), attrs
+    from PIL import Image as PILImage
+
+    x = np.asarray(PILImage.open(path), np.float32) / 255.0
+    if x.ndim == 2:
+        x = np.repeat(x[:, :, None], 3, axis=2)
+    x = x[:, :, :3]
+    lin = np.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+    return lin.astype(np.float32), {}
