@@ -213,6 +213,94 @@ def cmd_error_report(args):
     return 0
 
 
+def cmd_scalenormalmap(args):
+    """Scale tangent-space normal map strength (imgtool scalenormalmap,
+    cmd/imgtool.cpp:693): decode [0,1] -> [-1,1], scale xy, rebuild z as
+    sqrt(1 - x^2 - y^2), re-encode."""
+    from ..utils.image import write_exr
+
+    img, _ = _load(args.input)
+    n = 2.0 * img - 1.0
+    n[..., 0] *= args.scale
+    n[..., 1] *= args.scale
+    n[..., 2] = np.sqrt(np.maximum(1.0 - n[..., 0] ** 2 - n[..., 1] ** 2,
+                                   0.0))
+    write_exr(args.outfile, (n + 1.0) * 0.5)
+    print(f"wrote {args.outfile}")
+    return 0
+
+
+def cmd_denoise(args):
+    """Denoise a render using its G-buffer aux channels (imgtool
+    denoise-optix, cmd/imgtool.cpp:2243).  The OptiX neural denoiser is
+    CUDA-only; the equivalent here is an edge-aware à-trous wavelet filter
+    (Dammertz et al. 2010, the SVGF spatial pass) guided by the same
+    Albedo.{R,G,B} and Ns.{X,Y,Z} channels the reference feeds OptiX."""
+    from ..utils.image import read_exr, write_exr
+
+    img, names, attrs = read_exr(args.input)
+
+    def channels(prefixes):
+        idx = []
+        for want in prefixes:
+            for i, nm in enumerate(names):
+                if nm == want:
+                    idx.append(i)
+                    break
+        return img[:, :, idx] if len(idx) == 3 else None
+
+    rgb = channels(["R", "G", "B"])
+    if rgb is None:
+        print(f"error: {args.input} has no R,G,B channels", file=sys.stderr)
+        return 1
+    albedo = channels(["Albedo.R", "Albedo.G", "Albedo.B"])
+    normal = channels(["Ns.X", "Ns.Y", "Ns.Z"])
+    if normal is None:
+        normal = channels(["Nsx", "Nsy", "Nsz"])
+
+    # demodulate albedo so texture detail survives the blur
+    if albedo is not None:
+        demod = rgb / np.maximum(albedo, 1e-3)
+    else:
+        demod = rgb
+
+    h, w = rgb.shape[:2]
+    kern = np.array([1, 4, 6, 4, 1], np.float64) / 16.0  # B3 spline
+    out = demod.astype(np.float64)
+    lum = out.mean(-1)
+    sigma_c2 = max(1e-6, float(np.var(lum))) * args.sigma_color ** 2
+
+    for level in range(args.levels):
+        step = 1 << level
+        acc = np.zeros_like(out)
+        wacc = np.zeros((h, w), np.float64)
+        for dy in range(-2, 3):
+            for dx in range(-2, 3):
+                kw = kern[dy + 2] * kern[dx + 2]
+                sy, sx = dy * step, dx * step
+                sh = np.roll(np.roll(out, sy, 0), sx, 1)
+                wgt = np.full((h, w), kw)
+                dc = ((out - sh) ** 2).mean(-1)
+                wgt *= np.exp(-dc / sigma_c2)
+                if normal is not None:
+                    nsh = np.roll(np.roll(normal, sy, 0), sx, 1)
+                    ndot = np.clip((normal * nsh).sum(-1), 0.0, 1.0)
+                    wgt *= ndot ** args.sigma_normal
+                if albedo is not None:
+                    ash = np.roll(np.roll(albedo, sy, 0), sx, 1)
+                    da = ((albedo - ash) ** 2).mean(-1)
+                    wgt *= np.exp(-da / 0.01)
+                acc += sh * wgt[..., None]
+                wacc += wgt
+        out = acc / np.maximum(wacc, 1e-12)[..., None]
+
+    if albedo is not None:
+        out = out * np.maximum(albedo, 1e-3)
+    write_exr(args.outfile, out.astype(np.float32))
+    print(f"wrote {args.outfile}")
+    return 0
+
+
 def cmd_makesky(args):
     """Analytic daylight sky environment map (imgtool makesky; Preetham
     model standing in for the vendored Hosek-Wilkie dataset)."""
@@ -316,6 +404,23 @@ def main(argv=None):
     me.add_argument("--outfile", default="equiarea.exr")
     me.add_argument("--resolution", type=int, default=None)
     me.set_defaults(fn=cmd_makeequiarea)
+
+    snm = sub.add_parser("scalenormalmap", help="scale normal map strength")
+    snm.add_argument("input")
+    snm.add_argument("--scale", type=float, default=1.0)
+    snm.add_argument("--outfile", required=True)
+    snm.set_defaults(fn=cmd_scalenormalmap)
+
+    dn = sub.add_parser("denoise",
+                        help="G-buffer-guided a-trous denoise (denoise-optix)")
+    dn.add_argument("input")
+    dn.add_argument("--outfile", required=True)
+    dn.add_argument("--levels", type=int, default=5)
+    dn.add_argument("--sigma-color", type=float, default=4.0,
+                    dest="sigma_color")
+    dn.add_argument("--sigma-normal", type=float, default=128.0,
+                    dest="sigma_normal")
+    dn.set_defaults(fn=cmd_denoise)
     wb.set_defaults(fn=cmd_whitebalance)
     bl.set_defaults(fn=cmd_bloom)
     sn.set_defaults(fn=cmd_splitn)

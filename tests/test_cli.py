@@ -260,3 +260,58 @@ def test_makesky_and_mapping(tmp_path):
         np.stack(np.meshgrid(*[(np.arange(64) + .5) / 64] * 2), -1))
     below = d[..., 2] < -0.1
     assert img[below].max() < 1e-6
+
+
+def test_denoise_gbuffer_guided(tmp_path):
+    """imgtool denoise (the denoise-optix equivalent, cmd/imgtool.cpp:2243):
+    a-trous filter guided by Albedo/Ns channels must cut noise while keeping
+    the albedo edge."""
+    import numpy as np
+
+    from acceleratedvolrenderer_tpu.cli import imgtool
+    from acceleratedvolrenderer_tpu.utils.image import read_exr, write_exr
+
+    rng = np.random.default_rng(0)
+    H = W = 64
+    clean = np.zeros((H, W, 3), np.float32)
+    clean[:, : W // 2] = [0.8, 0.4, 0.2]
+    clean[:, W // 2:] = [0.1, 0.3, 0.7]
+    noisy = np.clip(clean + rng.normal(0, 0.25, (H, W, 3)), 0,
+                    None).astype(np.float32)
+    normal = np.zeros((H, W, 3), np.float32)
+    normal[..., 2] = 1.0
+    src = tmp_path / "noisy.exr"
+    write_exr(str(src), np.concatenate([noisy, clean, normal], -1),
+              channel_names=("R", "G", "B", "Albedo.R", "Albedo.G",
+                             "Albedo.B", "Ns.X", "Ns.Y", "Ns.Z"))
+    out = tmp_path / "dn.exr"
+    rc = imgtool.main(["denoise", str(src), "--outfile", str(out)])
+    assert rc == 0
+    dn, _, _ = read_exr(str(out))
+    mse_before = ((noisy - clean) ** 2).mean()
+    mse_after = ((dn[:, :, :3] - clean) ** 2).mean()
+    assert mse_after < mse_before / 10
+
+
+def test_scalenormalmap(tmp_path):
+    """imgtool scalenormalmap (cmd/imgtool.cpp:693): xy scaled, z rebuilt
+    to unit length, [0,1] encoding round-tripped."""
+    import numpy as np
+
+    from acceleratedvolrenderer_tpu.cli import imgtool
+    from acceleratedvolrenderer_tpu.utils.image import read_exr, write_exr
+
+    rng = np.random.default_rng(1)
+    nm = np.concatenate([rng.random((8, 8, 2)).astype(np.float32) * 0.4 + 0.3,
+                         np.full((8, 8, 1), 0.9, np.float32)], -1)
+    src = tmp_path / "nm.exr"
+    write_exr(str(src), nm)
+    out = tmp_path / "nm2.exr"
+    rc = imgtool.main(["scalenormalmap", str(src), "--scale", "0.5",
+                       "--outfile", str(out)])
+    assert rc == 0
+    res, _, _ = read_exr(str(out))
+    dec = 2 * res - 1
+    inp = 2 * nm - 1
+    assert np.allclose(dec[..., :2], inp[..., :2] * 0.5, atol=1e-3)
+    assert np.allclose((dec ** 2).sum(-1), 1.0, atol=1e-3)
