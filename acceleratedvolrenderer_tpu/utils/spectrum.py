@@ -322,3 +322,141 @@ def rgb_to_spectrum_smits_batched(rgb, lam):
     )
     out = jnp.where(c1, out1, jnp.where(c2, out2, out3))
     return jnp.clip(out, 0.0, None)
+
+
+# ---------------------------------------------------------------------------
+# Sigmoid-polynomial RGB -> spectrum (Jakob & Hanika 2019)
+# ---------------------------------------------------------------------------
+# Reference: RGBSigmoidPolynomial (util/spectrum.h) + the table generator
+# cmd/rgb2spec_opt.cpp (915 LoC, Gauss-Newton per lattice point on CPU
+# threads).  TPU reshape: the whole coefficient lattice is fit as ONE batched
+# Levenberg-Marquardt in jax — every lattice point a lane, jacfwd for the
+# 3x3 normal equations, ~60 vectorized iterations total instead of millions
+# of scalar solver calls.  Error is minimized in linear sRGB (the reference
+# uses CIELAB deltaE; both drive residuals to ~0 for in-gamut colors, where
+# the parameterization is exact).
+
+_SRGB_XYZ_TO_RGB = np.array([
+    [3.2406, -1.5372, -0.4986],
+    [-0.9689, 1.8758, 0.0415],
+    [0.0557, -0.2040, 1.0570]], np.float64)
+
+
+def sigmoid(x):
+    """s(x) = 1/2 + x / (2 sqrt(1 + x^2))  (spectrum.h RGBSigmoidPolynomial::s)."""
+    return 0.5 + x / (2.0 * jnp.sqrt(1.0 + x * x))
+
+
+def sigmoid_polynomial_eval(coeffs, lam):
+    """Evaluate the sigmoid-polynomial reflectance model.
+
+    coeffs: (..., 3) = (c0, c1, c2) on wavelength in nm;
+    lam: (...,) nm.  Returns reflectance in (0, 1)."""
+    x = (coeffs[..., 0] * lam + coeffs[..., 1]) * lam + coeffs[..., 2]
+    return sigmoid(x)
+
+
+def _rgb_of_sigmoid_coeffs(c, lam_grid, basis_rgb):
+    """Model RGB of normalized-domain coeffs c (..., 3) under D65.
+
+    lam_grid: (Q,) normalized in [0,1]; basis_rgb: (Q, 3) =
+    M_xyz2rgb . (x,y,z-bar * D65) quadrature weights, normalized so a unit
+    reflectance maps to RGB (1,1,1)."""
+    x = (c[..., 0:1] * lam_grid + c[..., 1:2]) * lam_grid + c[..., 2:3]
+    s = sigmoid(x)                                     # (..., Q)
+    return s @ basis_rgb                               # (..., 3)
+
+
+def _sigmoid_fit_basis(q: int = 95):
+    lam_nm = np.linspace(LAMBDA_MIN, LAMBDA_MAX, q)
+    lam01 = (lam_nm - LAMBDA_MIN) / (LAMBDA_MAX - LAMBDA_MIN)
+    import jax
+
+    ill = np.asarray(d_illuminant()(jnp.asarray(lam_nm, jnp.float32)),
+                     np.float64)
+    xyz = np.asarray(cie_xyz(jnp.asarray(lam_nm, jnp.float32)), np.float64)
+    w = xyz * ill[:, None]
+    w /= (ill * xyz[:, 1]).sum()                       # white -> Y = 1
+    basis = w @ _SRGB_XYZ_TO_RGB.T                     # (Q, 3)
+    return (jnp.asarray(lam01, jnp.float32), jnp.asarray(basis, jnp.float32))
+
+
+def fit_sigmoid_polynomial(rgb, iters: int = 60):
+    """Batched LM fit of sigmoid-polynomial coefficients to linear-sRGB
+    reflectances (the rgb2spec_opt.cpp optimization, one lane per color).
+
+    rgb: (N, 3) in [0, 1].  Returns (N, 3) coefficients in the NM domain
+    suitable for sigmoid_polynomial_eval."""
+    import jax
+
+    rgb = jnp.asarray(rgb, jnp.float32)
+    lam01, basis = _sigmoid_fit_basis()
+
+    def residual(c, target):
+        return _rgb_of_sigmoid_coeffs(c, lam01, basis) - target
+
+    jac = jax.jacfwd(residual)
+
+    def step(carry, _):
+        c, mu = carry
+        r = residual(c, rgb)                           # (N, 3)
+        J = jac(c, rgb) if c.ndim == 1 else jax.vmap(jac)(c, rgb)  # (N,3,3)
+        JtJ = jnp.einsum("nij,nik->njk", J, J)
+        Jtr = jnp.einsum("nij,ni->nj", J, r)
+        A = JtJ + mu[:, None, None] * jnp.eye(3)
+        dc = jnp.linalg.solve(A, Jtr[..., None])[..., 0]
+        c_new = c - dc
+        better = (jnp.sum(residual(c_new, rgb) ** 2, -1)
+                  < jnp.sum(r ** 2, -1))
+        c = jnp.where(better[:, None], c_new, c)
+        mu = jnp.where(better, mu * 0.5, mu * 4.0)
+        return (c, mu), None
+
+    # init: flat spectrum at the mean reflectance -> c = (0, 0, logit)
+    m = jnp.clip(rgb.mean(-1), 1e-3, 1 - 1e-3)
+    z = (2 * m - 1) / (2.0 * jnp.sqrt(jnp.clip(m * (1 - m), 1e-6, None)))
+    c0 = jnp.stack([jnp.zeros_like(z), jnp.zeros_like(z), z], -1)
+    mu0 = jnp.full(rgb.shape[0], 1e-2)
+    (c, _), _ = jax.lax.scan(step, (c0, mu0), None, length=iters)
+    # normalized lam01 -> nm: x = a t^2 + b t + c, t = (lam - L0)/DL
+    dl = LAMBDA_MAX - LAMBDA_MIN
+    a, b, cc = c[..., 0], c[..., 1], c[..., 2]
+    c0_nm = a / dl ** 2
+    c1_nm = b / dl - 2 * a * LAMBDA_MIN / dl ** 2
+    c2_nm = cc - b * LAMBDA_MIN / dl + a * (LAMBDA_MIN / dl) ** 2
+    return jnp.stack([c0_nm, c1_nm, c2_nm], -1)
+
+
+def make_rgb2spec_table(res: int = 32, iters: int = 60):
+    """Generate an RGBToSpectrumTable-style coefficient lattice
+    (rgb2spec_opt.cpp main loop): for each max-component axis l in {r,g,b}
+    and lattice point (z = max value, x, y = other components / max), fit
+    coefficients.  Returns (3, res, res, res, 3) float32 (l, z, y, x, c)."""
+    import itertools
+
+    zs = (np.arange(res) + 0.5) / res                  # max component
+    xs = (np.arange(res) + 0.5) / res
+    out = np.zeros((3, res, res, res, 3), np.float32)
+    for l in range(3):
+        zz, yy, xx = np.meshgrid(zs, xs, xs, indexing="ij")
+        rgb = np.zeros(zz.shape + (3,), np.float32)
+        rgb[..., l] = zz
+        rgb[..., (l + 1) % 3] = xx * zz
+        rgb[..., (l + 2) % 3] = yy * zz
+        coeffs = fit_sigmoid_polynomial(rgb.reshape(-1, 3), iters=iters)
+        out[l] = np.asarray(coeffs, np.float32).reshape(res, res, res, 3)
+    return out
+
+
+def rgb_albedo_spectrum_sigmoid(rgb, iters: int = 40):
+    """RGB reflectance -> smooth sigmoid-polynomial spectrum callable
+    (RGBAlbedoSpectrum, spectrum.h).  Direct per-color fit — no table
+    needed when colors are known at scene-build time."""
+    c = np.asarray(fit_sigmoid_polynomial(
+        np.asarray(rgb, np.float32).reshape(1, 3), iters=iters))[0]
+    cj = jnp.asarray(c)
+
+    def f(lam):
+        return sigmoid_polynomial_eval(cj, lam)
+
+    return f

@@ -82,3 +82,50 @@ def test_srgb_roundtrip():
     rgb = jnp.asarray(np.random.default_rng(0).random((32, 3)), jnp.float32)
     back = cs.xyz_to_rgb(cs.rgb_to_xyz(rgb))
     np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-4)
+
+
+def test_sigmoid_polynomial_roundtrip():
+    """Jakob-Hanika sigmoid-polynomial fit (rgb2spec_opt.cpp equivalent):
+    fitted spectra must integrate back to the target RGB under D65 and stay
+    bounded in [0, 1]."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from acceleratedvolrenderer_tpu.utils import spectrum as sp
+
+    rng = np.random.default_rng(42)
+    rgb = rng.random((128, 3)).astype(np.float32)
+    c = sp.fit_sigmoid_polynomial(rgb)
+    _, basis = sp._sigmoid_fit_basis()
+    lam_nm = np.linspace(sp.LAMBDA_MIN, sp.LAMBDA_MAX, 95)
+    s = sp.sigmoid_polynomial_eval(
+        np.asarray(c)[:, None, :], jnp.asarray(lam_nm, jnp.float32)[None, :])
+    back = np.asarray(s @ basis)
+    assert np.abs(back - rgb).max() < 1e-3
+    assert float(s.min()) >= 0.0 and float(s.max()) <= 1.0
+
+
+def test_rgb2spec_table_cli(tmp_path):
+    """rgb2spec_opt CLI writes a loadable coefficient lattice whose entries
+    reproduce their lattice RGB."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from acceleratedvolrenderer_tpu.cli import rgb2spec_opt
+    from acceleratedvolrenderer_tpu.utils import spectrum as sp
+
+    out = tmp_path / "t.npz"
+    rc = rgb2spec_opt.main(["4", str(out), "--iters", "40"])
+    assert rc == 0
+    data = np.load(out)
+    coeffs = data["coeffs"]
+    assert coeffs.shape == (3, 4, 4, 4, 3)
+    # spot-check one entry: l=0 (red max), z idx 3, y idx 1, x idx 2
+    zs = (np.arange(4) + 0.5) / 4
+    target = np.array([zs[3], zs[2] * zs[3], zs[1] * zs[3]], np.float32)
+    _, basis = sp._sigmoid_fit_basis()
+    lam_nm = np.linspace(sp.LAMBDA_MIN, sp.LAMBDA_MAX, 95)
+    s = sp.sigmoid_polynomial_eval(
+        jnp.asarray(coeffs[0, 3, 1, 2]), jnp.asarray(lam_nm, jnp.float32))
+    back = np.asarray(s @ basis)
+    assert np.abs(back - target).max() < 2e-3
