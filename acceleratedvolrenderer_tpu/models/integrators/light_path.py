@@ -190,7 +190,7 @@ def trace_light_paths(
         prm_stacks = _gather_mat_params(opaque, lam, hit.uv, N)
         kind_ids = _take(prm_stacks["kind"], mid)
         prm = {k: _take(v, mid) for k, v in prm_stacks.items()
-               if k not in ("kind", "emissive")}
+               if k not in ("kind", "emissive") and not k.startswith("_")}
         emissive_mask = jnp.asarray(prm_stacks["emissive"])[mid]
         shade = surf & ~emissive_mask
 
@@ -201,7 +201,8 @@ def trace_light_paths(
         wi_l = vmu.to_local(bx, by, bz, to_cam)
         from .path import _bsdf_f_pdf
 
-        f_cam, _ = _bsdf_f_pdf(kind_ids, prm, wo_l, wi_l)
+        f_cam, _ = _bsdf_f_pdf(kind_ids, prm, wo_l, wi_l, lam,
+                               prm_stacks["_measured_tables"])
         cos_cam_s = jnp.abs(wi_l[..., 2])
         p_off = p_hit + hit.n * jnp.where(
             vmu.dot(hit.n, to_cam) > 0, _SURF_EPS, -_SURF_EPS)[:, None]
@@ -210,7 +211,8 @@ def trace_light_paths(
         # continue the walk
         u_lobe = src.next(shade)
         u2 = jnp.stack([src.next(shade), src.next(shade)], -1)
-        bs = _bsdf_sample(kind_ids, prm, wo_l, u_lobe, u2)
+        bs = _bsdf_sample(kind_ids, prm, wo_l, u_lobe, u2, lam,
+                          prm_stacks["_measured_tables"])
         cos_b = jnp.abs(bs.wi[..., 2])
         ok_b = shade & (bs.pdf > 0) & jnp.any(bs.f > 0, -1)
         beta = jnp.where(ok_b[:, None],

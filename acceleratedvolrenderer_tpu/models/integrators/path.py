@@ -60,16 +60,17 @@ class VectorSource:
         return u
 
 
-def _mat_param_row(m, lam, uv, N):
+def _mat_param_row(m, lam, uv, N, mreg=None):
     """Parameter dict for ONE material at the hit points (each value
     (N, ...) with a per-lane `kind`).  MixMaterial resolves per lane by
     hashing the hit parameterization against `amount` (materials.h
-    MixMaterial::ChooseMaterial with HashFloat)."""
+    MixMaterial::ChooseMaterial with HashFloat).  mreg maps id(measured
+    brdf) -> registry slot for MeasuredMaterial dispatch."""
     L = lam.shape[-1]
     zeros_s = jnp.zeros((N, L))
     if isinstance(m, materials_mod.MixMaterial):
-        a = _mat_param_row(m.m1, lam, uv, N)
-        b = _mat_param_row(m.m2, lam, uv, N)
+        a = _mat_param_row(m.m1, lam, uv, N, mreg)
+        b = _mat_param_row(m.m2, lam, uv, N, mreg)
         if uv is not None:
             bits = (jnp.asarray(uv[..., 0] * 65535, jnp.uint32) * 73856093
                     ^ jnp.asarray(uv[..., 1] * 65535, jnp.uint32) * 19349663)
@@ -94,8 +95,12 @@ def _mat_param_row(m, lam, uv, N):
     else:
         ss_albedo = jnp.zeros((N, 3))
         ss_ell = jnp.full((N, 3), 1e-3)
+    slot = -1
+    if kind == materials_mod.KIND_MEASURED and mreg is not None:
+        slot = mreg.get(id(m.brdf), -1)
     return dict(
         kind=jnp.full((N,), int(kind), jnp.int32),
+        measured_slot=jnp.full((N,), slot, jnp.int32),
         ss_albedo=ss_albedo, ss_ell=ss_ell,
         albedo=materials_mod._eval_spectral(
             getattr(m, "reflectance", None), lam, uv),
@@ -115,13 +120,29 @@ def _mat_param_row(m, lam, uv, N):
     )
 
 
+def _collect_measured(m, registry):
+    if isinstance(m, materials_mod.MixMaterial):
+        _collect_measured(m.m1, registry)
+        _collect_measured(m.m2, registry)
+    elif getattr(m, "kind", None) == materials_mod.KIND_MEASURED:
+        if id(m.brdf) not in registry[0]:
+            registry[0][id(m.brdf)] = len(registry[1])
+            registry[1].append(m.brdf)
+
+
 def _gather_mat_params(opaque, lam, uv, N):
     """Per-primitive material parameter stacks -> dict of (M, N, ...)
     arrays; `kind` is per-lane (M, N) so MixMaterial can resolve per hit.
-    uv is the hit parameterization per ray."""
-    rows = [_mat_param_row(p.material, lam, uv, N) for p in opaque]
+    uv is the hit parameterization per ray.  Keys starting with "_" are
+    static python objects (the measured-BRDF table registry), not arrays."""
+    registry = ({}, [])
+    for p in opaque:
+        _collect_measured(p.material, registry)
+    mreg = registry[0]
+    rows = [_mat_param_row(p.material, lam, uv, N, mreg) for p in opaque]
     out = {k: jnp.stack([r[k] for r in rows]) for k in rows[0]}
     out["emissive"] = np.asarray([p.material.emissive for p in opaque], bool)
+    out["_measured_tables"] = tuple(registry[1])
     return out
 
 
@@ -131,7 +152,7 @@ def _take(arr, idx):
     return jnp.take_along_axis(arr, idx[None, :, None], 0)[0]
 
 
-def _bsdf_sample(kind_ids, prm, wo_l, u_lobe, u2):
+def _bsdf_sample(kind_ids, prm, wo_l, u_lobe, u2, lam=None, measured=()):
     """Masked-select BSDF sampling over the static lobe families."""
     s_dif = bxdfs.diffuse_sample(wo_l, u2, prm["albedo"])
     s_con = bxdfs.conductor_sample(wo_l, u2, prm["eta_c"], prm["k_c"],
@@ -159,10 +180,26 @@ def _bsdf_sample(kind_ids, prm, wo_l, u_lobe, u2):
             jnp.where(sel, s.eta_scale, out.eta_scale),
             jnp.where(sel, s.transmitted, out.transmitted),
         )
+    if measured and lam is not None:
+        from .. import measured as measured_mod
+
+        for slot, brdf in enumerate(measured):
+            sel = ((kind_ids == materials_mod.KIND_MEASURED)
+                   & (prm["measured_slot"] == slot))
+            wi_m, f_m, p_m, valid_m = measured_mod.measured_sample(
+                brdf, wo_l, u2, lam)
+            out = bxdfs.BSDFSample(
+                jnp.where(sel[:, None], wi_m, out.wi),
+                jnp.where(sel[:, None], f_m, out.f),
+                jnp.where(sel, jnp.where(valid_m, p_m, 0.0), out.pdf),
+                jnp.where(sel, False, out.specular),
+                jnp.where(sel, 1.0, out.eta_scale),
+                jnp.where(sel, False, out.transmitted),
+            )
     return out
 
 
-def _bsdf_f_pdf(kind_ids, prm, wo_l, wi_l):
+def _bsdf_f_pdf(kind_ids, prm, wo_l, wi_l, lam=None, measured=()):
     """Masked-select f and pdf over the lobe families (delta lobes: 0)."""
     f_dif = bxdfs.diffuse_f(wo_l, wi_l, prm["albedo"])
     p_dif = bxdfs.diffuse_pdf(wo_l, wi_l)
@@ -191,6 +228,16 @@ def _bsdf_f_pdf(kind_ids, prm, wo_l, wi_l):
         sel = kind_ids == kid
         f = jnp.where(sel[:, None], fi, f)
         p = jnp.where(sel, pi, p)
+    if measured and lam is not None:
+        from .. import measured as measured_mod
+
+        for slot, brdf in enumerate(measured):
+            sel = ((kind_ids == materials_mod.KIND_MEASURED)
+                   & (prm["measured_slot"] == slot))
+            f = jnp.where(sel[:, None],
+                          measured_mod.measured_f(brdf, wo_l, wi_l, lam), f)
+            p = jnp.where(sel, measured_mod.measured_pdf(brdf, wo_l, wi_l),
+                          p)
     return f, p
 
 
@@ -271,8 +318,9 @@ def li_path(
         prm_stacks = _gather_mat_params(opaque, lam, hit.uv, N)
         kind_ids = _take(prm_stacks["kind"], mid)
         prm = {k: _take(v, mid) for k, v in prm_stacks.items()
-               if k not in ("kind", "emissive")}
+               if k not in ("kind", "emissive") and not k.startswith("_")}
         emissive_mask = jnp.asarray(prm_stacks["emissive"])[mid]
+        measured_tables = prm_stacks["_measured_tables"]
 
         # --- subsurface scattering (SeparableBSSRDF exit sampling,
         # cpu/integrators.cpp:526-592 reshaped): a subsurface hit teleports
@@ -337,7 +385,8 @@ def li_path(
                     vmu.dot(n_g, wo) > 0, _SURF_EPS, -_SURF_EPS)[:, None],
                 u1, u2, lam, strategy=light_strategy)
             wi_l_nee = vmu.to_local(bx, by, bz, ls.wi)
-            f_nee, pdf_b_nee = _bsdf_f_pdf(kind_ids, prm, wo_l, wi_l_nee)
+            f_nee, pdf_b_nee = _bsdf_f_pdf(kind_ids, prm, wo_l, wi_l_nee,
+                                           lam, measured_tables)
             cos_nee = jnp.abs(wi_l_nee[..., 2])
             p_off = p_hit + n_g * jnp.where(
                 vmu.dot(n_g, ls.wi) > 0, _SURF_EPS, -_SURF_EPS)[:, None]
@@ -369,7 +418,8 @@ def li_path(
             alpha_reg = jnp.where(spec_prev, prm["alpha"],
                                   jnp.maximum(prm["alpha"], 0.3))
         prm_s = dict(prm, alpha=alpha_reg)
-        bs = _bsdf_sample(kind_ids, prm_s, wo_l, u_lobe, u2b)
+        bs = _bsdf_sample(kind_ids, prm_s, wo_l, u_lobe, u2b,
+                          lam, measured_tables)
         cos_b = jnp.abs(bs.wi[..., 2])
         ok_b = shade & (bs.pdf > 0) & jnp.any(bs.f > 0, -1)
         beta_new = beta * bs.f * (cos_b / jnp.maximum(bs.pdf, 1e-20))[:, None]

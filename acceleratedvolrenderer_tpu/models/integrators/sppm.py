@@ -111,7 +111,7 @@ def _camera_pass(prims, lights, cam, pix, pixidx, lam, rng, *, max_depth,
         prm_stacks = _gather_mat_params(opaque, lam, hit.uv, N)
         kind_ids = _take(prm_stacks["kind"], mid)
         prm = {k: _take(v, mid) for k, v in prm_stacks.items()
-               if k not in ("kind", "emissive")}
+               if k not in ("kind", "emissive") and not k.startswith("_")}
         emissive_mask = jnp.asarray(prm_stacks["emissive"])[mid]
 
         front = vmu.dot(hit.n, wo) > 0
@@ -134,7 +134,8 @@ def _camera_pass(prims, lights, cam, pix, pixidx, lam, rng, *, max_depth,
                                     -_SURF_EPS)[:, None],
             u1, u2, lam, strategy=light_strategy)
         wi_l_nee = vmu.to_local(bx, by, bz, ls.wi)
-        f_nee, _ = _bsdf_f_pdf(kind_ids, prm, wo_l, wi_l_nee)
+        f_nee, _ = _bsdf_f_pdf(kind_ids, prm, wo_l, wi_l_nee, lam,
+                               prm_stacks["_measured_tables"])
         cos_nee = jnp.abs(wi_l_nee[..., 2])
         p_off = p_hit + n_g * jnp.where(
             vmu.dot(n_g, ls.wi) > 0, _SURF_EPS, -_SURF_EPS)[:, None]
@@ -169,7 +170,8 @@ def _camera_pass(prims, lights, cam, pix, pixidx, lam, rng, *, max_depth,
         cont = shade & ~store_now
         u_lobe = src.next(cont)
         u2b = jnp.stack([src.next(cont), src.next(cont)], -1)
-        bs = _bsdf_sample(kind_ids, prm, wo_l, u_lobe, u2b)
+        bs = _bsdf_sample(kind_ids, prm, wo_l, u_lobe, u2b, lam,
+                          prm_stacks["_measured_tables"])
         cos_b = jnp.abs(bs.wi[..., 2])
         ok_b = cont & (bs.pdf > 0) & jnp.any(bs.f > 0, -1)
         beta = jnp.where(ok_b[:, None],
@@ -288,7 +290,7 @@ def _photon_pass(prims, lights, n_photons, lam, rng, vp, radius, *,
         prm_stacks = _gather_mat_params(opaque, lam_p, hit.uv, N)
         kind_ids = _take(prm_stacks["kind"], mid)
         prm = {k: _take(v, mid) for k, v in prm_stacks.items()
-               if k not in ("kind", "emissive")}
+               if k not in ("kind", "emissive") and not k.startswith("_")}
         emissive_mask = jnp.asarray(prm_stacks["emissive"])[mid]
         shade = surf & ~emissive_mask
         n_g = hit.n
@@ -296,7 +298,8 @@ def _photon_pass(prims, lights, n_photons, lam, rng, vp, radius, *,
         wo_l = vmu.to_local(bx, by, bz, -d_cur)
         u_lobe = src.next(shade)
         u2b = jnp.stack([src.next(shade), src.next(shade)], -1)
-        bs = _bsdf_sample(kind_ids, prm, wo_l, u_lobe, u2b)
+        bs = _bsdf_sample(kind_ids, prm, wo_l, u_lobe, u2b, lam_p,
+                          prm_stacks["_measured_tables"])
         cos_b = jnp.abs(bs.wi[..., 2])
         ok_b = shade & (bs.pdf > 0) & jnp.any(bs.f > 0, -1)
         beta_new = beta * bs.f * (cos_b / jnp.maximum(bs.pdf, 1e-20))[:, None]

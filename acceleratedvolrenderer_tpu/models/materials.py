@@ -206,3 +206,26 @@ class SubsurfaceMaterial:
     @property
     def emissive(self) -> bool:
         return self.emission is not None
+
+
+KIND_MEASURED = 7
+
+
+@dataclass(frozen=True)
+class MeasuredMaterial:
+    """Data-driven measured BRDF (materials.h MeasuredMaterial +
+    bxdfs.h:1021 MeasuredBxDF): RGL .bsdf tables loaded via
+    models/measured.py; dispatched per lane through the integrator's
+    measured-table registry."""
+    brdf: object                        # models.measured.MeasuredBRDF
+    filename: str = ""
+    emission: Optional[Callable] = None
+    emission_scale: float = 1.0
+
+    kind = KIND_MEASURED
+    roughness = 1.0                     # never treated as specular
+    eta = 1.5
+
+    @property
+    def emissive(self) -> bool:
+        return self.emission is not None
