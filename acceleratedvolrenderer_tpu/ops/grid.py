@@ -153,3 +153,50 @@ def build_majorant_grid_jax(density, res=(16, 16, 16)):
     mx = jnp.stack([density[:, :, l: h + 1].max(axis=2) for l, h in zip(lox, hix)], axis=-1)
     mxy = jnp.stack([mx[:, l: h + 1, :].max(axis=1) for l, h in zip(loy, hiy)], axis=1)
     return jnp.stack([mxy[l: h + 1].max(axis=0) for l, h in zip(loz, hiz)], axis=0)
+
+
+def stochastic_corner(dims, p_unit, u3):
+    """Sample ONE trilerp corner with its trilinear weight (stochastic
+    texture filtering — Pharr, "Stochastic Texture Filtering" 2024; also
+    the filtering scheme of GPU production volume renderers): per axis the
+    upper corner is chosen with probability frac, so
+    E[grid[corner]] == trilerp(grid, p_unit) exactly.
+
+    In the null-scattering estimator every per-collision factor is LINEAR
+    in the density sample (event probabilities, beta/r ratios, ratio-
+    tracking factors), and corner draws are independent across collisions,
+    so replacing the 8-tap trilerp with this 1-tap estimate keeps the
+    radiance estimator unbiased — it trades a ~2x HBM-gather saving (the
+    profiled hot spot of the fused march) for slightly higher variance.
+
+    Returns (flat index into the z-major grid, inside mask)."""
+    nz, ny, nx = dims
+    n = jnp.asarray([nx, ny, nz], jnp.float32)
+    ps = p_unit * n - 0.5
+    pi0 = jnp.floor(ps)
+    d = (ps - pi0).astype(jnp.float32)
+    pi = pi0.astype(jnp.int32)
+    c = pi + (u3 < d).astype(jnp.int32)
+    inside = ((c[..., 0] >= 0) & (c[..., 0] < nx)
+              & (c[..., 1] >= 0) & (c[..., 1] < ny)
+              & (c[..., 2] >= 0) & (c[..., 2] < nz))
+    flat = ((jnp.clip(c[..., 2], 0, nz - 1) * ny
+             + jnp.clip(c[..., 1], 0, ny - 1)) * nx
+            + jnp.clip(c[..., 0], 0, nx - 1))
+    return flat, inside
+
+
+def trilerp_stochastic_flat(grid_flat, dims, p_unit, u3):
+    """1-tap stochastic trilerp (see stochastic_corner)."""
+    flat, inside = stochastic_corner(dims, p_unit, u3)
+    return jnp.where(inside, jnp.take(grid_flat, flat, axis=0), 0.0)
+
+
+def trilerp_vec_stochastic(grid, p_unit, u3):
+    """Stochastic trilerp for (nz, ny, nx, C) grids -> (..., C); all C
+    channels share the corner draw (they are evaluated at the same point,
+    and each enters its collision factor linearly)."""
+    nz, ny, nx, C = grid.shape
+    flat, inside = stochastic_corner((nz, ny, nx), p_unit, u3)
+    v = jnp.take(grid.reshape(-1, C), flat, axis=0)
+    return jnp.where(inside[..., None], v, 0.0)

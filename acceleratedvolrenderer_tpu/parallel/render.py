@@ -170,7 +170,9 @@ def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
 
 
 def make_regen_renderer(scene, *, n_lanes: int = 4096,
-                        spp: Optional[int] = None, k_substeps: int = 16):
+                        spp: Optional[int] = None, k_substeps: int = 16,
+                        stochastic_filter: bool = False,
+                        retire_every: int = 1):
     """Path-regeneration renderer: ONE fused kernel renders the whole
     frame x spp workload at ~full SIMD occupancy.
 
@@ -251,7 +253,8 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
             maj_res=maj_res, homogeneous=homogeneous,
             max_depth=scene.max_depth, scene_radius=scene.scene_radius,
             max_march_steps=iter_cap, rgb_mode=med_spec.rgb,
-            k_substeps=k_substeps,
+            k_substeps=k_substeps, stochastic_filter=stochastic_filter,
+            retire_every=retire_every,
             prims=tuple(scene.primitives), regen=regen)
         return res.film_rgb
 
@@ -259,13 +262,18 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
 
 
 def render_regen(scene, spp: Optional[int] = None, n_lanes: int = 4096,
-                 k_substeps: int = 16):
-    """Full render via path regeneration: ((H, W, 3) image, stats)."""
+                 k_substeps: int = 16, stochastic_filter: bool = False):
+    """Full render via path regeneration: ((H, W, 3) image, stats).
+
+    stochastic_filter=True swaps the per-collision 8-tap trilerp for the
+    1-tap stochastic-filtering estimate (ops.grid.stochastic_corner) —
+    same mean, ~2x faster on large grids; off by default so estimates stay
+    bitwise-equal to the chunked wave driver."""
     spp = spp if spp is not None else scene.spp
     H, W = scene.height, scene.width
-    run, density, majorant = make_regen_renderer(scene, n_lanes=n_lanes,
-                                                 spp=spp,
-                                                 k_substeps=k_substeps)
+    run, density, majorant = make_regen_renderer(
+        scene, n_lanes=n_lanes, spp=spp, k_substeps=k_substeps,
+        stochastic_filter=stochastic_filter)
     film_rgb = jnp.zeros((3 * (H * W + 1),))
     t0 = time.time()
     film_rgb = run(density, majorant, film_rgb)

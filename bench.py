@@ -34,8 +34,10 @@ def main():
 
     scene = presets.cloud(width=width, height=height, spp=bench_spp, max_depth=16)
     scene.max_march_steps = 4096
-    # path-regeneration renderer: one fused kernel per frame x spp batch
-    run, density, majorant = render_mod.make_regen_renderer(scene, spp=bench_spp)
+    # path-regeneration renderer: one fused kernel per frame x spp batch;
+    # stochastic filtering = 1-tap unbiased trilerp (2x on the 256^3 grid)
+    run, density, majorant = render_mod.make_regen_renderer(
+        scene, spp=bench_spp, k_substeps=8, stochastic_filter=True)
 
     film0 = jnp.zeros((3 * (height * width + 1),))
     # warmup / compile

@@ -37,3 +37,20 @@ def test_regen_lane_count_invariance():
     a, _ = render_mod.render_regen(sc, n_lanes=256)
     b, _ = render_mod.render_regen(sc, n_lanes=1024)
     assert np.allclose(a, b, atol=2e-5)
+
+
+def test_stochastic_filter_unbiased():
+    """1-tap stochastic trilerp (ops.grid.stochastic_corner) must agree
+    with the deterministic 8-tap render in expectation: every collision
+    factor is linear in the density sample, so only variance changes."""
+    sc = presets.cloud(width=32, height=24, spp=48, max_depth=8, grid_res=48)
+    sc.max_march_steps = 3000
+    det, _ = render_mod.render_regen(sc, n_lanes=1024)
+    sto, _ = render_mod.render_regen(sc, n_lanes=1024,
+                                     stochastic_filter=True)
+    assert np.all(np.isfinite(sto))
+    md, ms = float(det.mean()), float(sto.mean())
+    # image means agree within MC noise (measured gap on TPU: +0.46% at
+    # 64 spp, -0.74% at 256, -0.16% at 1024 -> converging, sign-flipping =
+    # noise; ~2% sigma at this tiny 32x24/48spp config)
+    assert abs(ms - md) / max(md, 1e-9) < 0.06, (md, ms)
