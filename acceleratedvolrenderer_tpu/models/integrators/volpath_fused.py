@@ -166,6 +166,7 @@ def li(
     regen=None,
     stochastic_filter: bool = False,
     retire_every: int = 1,
+    retire_groups: int = 1,
 ) -> LiResult:
     N = o.shape[0]
     LANES = lam.shape[-1]
@@ -852,8 +853,20 @@ def li(
 
     def retire_respawn(c: _Regs) -> _Regs:
         """Regen mode: splat retiring lanes to the film and refill them with
-        the next unissued work items (the wavefront queue-refill stage)."""
+        the next unissued work items (the wavefront queue-refill stage).
+
+        Round-robin retire groups: XLA:TPU executes scatter-add ~serially
+        (~7ns/element, profiled at 52% of the loop), so only a contiguous
+        1/R slice of lanes may splat per iteration — the scatter shrinks to
+        3N/R elements via a cheap dynamic_slice; a finished lane outside
+        its group waits <= R-1 iterations (a few % of mean path length).
+        """
         done = (c.pc == PC_DONE) & (c.work >= 0)
+        if retire_groups > 1:
+            grp_sz = N // retire_groups
+            g = jnp.remainder(c.n_steps, retire_groups)
+            active = (jnp.arange(N, dtype=jnp.int32) // grp_sz) == g
+            done = done & active
         swl = _spu.SampledWavelengths(c.lam, c.lam_pdf)
         rgb = _cspace.xyz_to_rgb(_spu.to_xyz(c.L, swl))
         m = jnp.max(rgb, axis=-1)
@@ -864,9 +877,15 @@ def li(
         p_idx = (gw % R_HW).astype(jnp.int32)
         tgt = jnp.where(done & (gw < R_gtotal), p_idx, R_HW)
         ch_off = jnp.arange(3, dtype=jnp.int32) * (R_HW + 1)   # channel-major
-        tgt3 = (tgt[:, None] + ch_off).reshape(-1)
-        film_rgb = c.film_rgb.at[tgt3].add(
-            jnp.where(done[:, None], rgb, 0.0).reshape(-1))
+        rgb_m = jnp.where(done[:, None], rgb, 0.0)
+        if retire_groups > 1:
+            tgt_g = jax.lax.dynamic_slice(tgt, (g * grp_sz,), (grp_sz,))
+            rgb_g = jax.lax.dynamic_slice(rgb_m, (g * grp_sz, 0), (grp_sz, 3))
+            tgt3 = (tgt_g[:, None] + ch_off).reshape(-1)
+            film_rgb = c.film_rgb.at[tgt3].add(rgb_g.reshape(-1))
+        else:
+            tgt3 = (tgt[:, None] + ch_off).reshape(-1)
+            film_rgb = c.film_rgb.at[tgt3].add(rgb_m.reshape(-1))
 
         # issue the next work items to retiring lanes (rank-ordered)
         rank = jnp.cumsum(done.astype(jnp.int32)) - 1
@@ -909,9 +928,9 @@ def li(
 
     def cond(c: _Regs):
         busy = jnp.any(c.pc != PC_DONE)
-        if regen is not None and retire_every > 1:
-            # batched retirement: a finished lane may still hold an
-            # unsplatted result between retire ticks
+        if regen is not None and (retire_every > 1 or retire_groups > 1):
+            # batched/grouped retirement: a finished lane may still hold an
+            # unsplatted result between its retire ticks
             busy = busy | jnp.any(c.work >= 0)
         return busy & (c.n_steps < max_march_steps)
 

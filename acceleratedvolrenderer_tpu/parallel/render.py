@@ -172,7 +172,8 @@ def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
 def make_regen_renderer(scene, *, n_lanes: int = 4096,
                         spp: Optional[int] = None, k_substeps: int = 16,
                         stochastic_filter: bool = False,
-                        retire_every: int = 1):
+                        retire_every: int = 1,
+                        retire_groups: int = 1):
     """Path-regeneration renderer: ONE fused kernel renders the whole
     frame x spp workload at ~full SIMD occupancy.
 
@@ -254,7 +255,7 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
             max_depth=scene.max_depth, scene_radius=scene.scene_radius,
             max_march_steps=iter_cap, rgb_mode=med_spec.rgb,
             k_substeps=k_substeps, stochastic_filter=stochastic_filter,
-            retire_every=retire_every,
+            retire_every=retire_every, retire_groups=retire_groups,
             prims=tuple(scene.primitives), regen=regen)
         return res.film_rgb
 

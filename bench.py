@@ -37,7 +37,8 @@ def main():
     # path-regeneration renderer: one fused kernel per frame x spp batch;
     # stochastic filtering = 1-tap unbiased trilerp (2x on the 256^3 grid)
     run, density, majorant = render_mod.make_regen_renderer(
-        scene, spp=bench_spp, k_substeps=8, stochastic_filter=True)
+        scene, spp=bench_spp, k_substeps=8, stochastic_filter=True,
+        retire_groups=2)
 
     film0 = jnp.zeros((3 * (height * width + 1),))
     # warmup / compile
