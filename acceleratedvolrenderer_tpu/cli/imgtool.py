@@ -15,11 +15,18 @@ import numpy as np
 
 
 def _load(path):
-    from ..utils.image import read_exr
+    from ..utils.image import read_exr, read_pfm, read_qoi
 
     if path.endswith(".exr"):
         img, _, attrs = read_exr(path)
         return img[:, :, :3], attrs
+    if path.endswith(".pfm"):
+        img = read_pfm(path)
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return img[:, :, :3], {}
+    if path.endswith(".qoi"):
+        return read_qoi(path), {}
     from PIL import Image
 
     arr = np.asarray(Image.open(path), np.float32) / 255.0
@@ -59,6 +66,14 @@ def cmd_convert(args):
         from ..utils.image import write_png
 
         write_png(args.output, img)
+    elif args.output.endswith(".pfm"):
+        from ..utils.image import write_pfm
+
+        write_pfm(args.output, img)
+    elif args.output.endswith(".qoi"):
+        from ..utils.image import write_qoi
+
+        write_qoi(args.output, img)
     else:
         from ..utils.image import write_exr
 

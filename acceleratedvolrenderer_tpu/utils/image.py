@@ -320,3 +320,166 @@ def read_image(path: str):
     x = x[:, :, :3]
     lin = np.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
     return lin.astype(np.float32), {}
+
+
+# ---------------------------------------------------------------------------
+# PFM (portable float map) — util/image.cpp ReadPFM/WritePFM
+# ---------------------------------------------------------------------------
+
+def write_pfm(path: str, rgb: np.ndarray):
+    """Write (H, W, 3) or (H, W) float32 as binary PFM (bottom-up rows,
+    little-endian scale=-1, matching the reference's WritePFM)."""
+    a = np.asarray(rgb, np.float32)
+    color = a.ndim == 3 and a.shape[2] == 3
+    hdr = b"PF\n" if color else b"Pf\n"
+    h, w = a.shape[:2]
+    with open(path, "wb") as f:
+        f.write(hdr)
+        f.write(f"{w} {h}\n".encode())
+        f.write(b"-1.000000\n")
+        f.write(np.ascontiguousarray(a[::-1]).tobytes())
+
+
+def read_pfm(path: str):
+    """Read a PFM -> (H, W, 3) or (H, W) float32."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] not in (b"PF", b"Pf"):
+        raise ValueError(f"{path}: not a PFM file")
+    color = data[:2] == b"PF"
+    # header = 3 whitespace-delimited tokens
+    pos = 2
+    toks = []
+    while len(toks) < 3:
+        while data[pos] in b" \t\r\n":
+            pos += 1
+        start = pos
+        while data[pos] not in b" \t\r\n":
+            pos += 1
+        toks.append(data[start:pos])
+    pos += 1      # single whitespace after the scale
+    w, h = int(toks[0]), int(toks[1])
+    scale = float(toks[2])
+    count = w * h * (3 if color else 1)
+    dt = "<f4" if scale < 0 else ">f4"
+    a = np.frombuffer(data, dt, count, pos).astype(np.float32)
+    a = a.reshape(h, w, 3) if color else a.reshape(h, w)
+    if abs(scale) != 1.0:
+        a = a * abs(scale)
+    return a[::-1].copy()
+
+
+# ---------------------------------------------------------------------------
+# QOI ("quite ok image") — ext/qoi, util/image.cpp QOI leg (8-bit sRGB)
+# ---------------------------------------------------------------------------
+
+def write_qoi(path: str, rgb: np.ndarray, linear_input: bool = True):
+    """Encode (H, W, 3) to QOI.  linear_input: apply sRGB transfer first
+    (the reference stores 8-bit formats sRGB-encoded)."""
+    x = np.asarray(rgb, np.float32)
+    if linear_input:
+        x = np.where(x <= 0.0031308, 12.92 * x,
+                     1.055 * np.power(np.maximum(x, 1e-8), 1 / 2.4) - 0.055)
+    px = (np.clip(x, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    h, w = px.shape[:2]
+    out = bytearray()
+    out += b"qoif"
+    out += w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([3, 0])
+    index = [(0, 0, 0, 255)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    flat = px.reshape(-1, 3)
+    for r, g, b in flat:
+        cur = (int(r), int(g), int(b), 255)
+        if cur == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        idx = (cur[0] * 3 + cur[1] * 5 + cur[2] * 7 + 255 * 11) % 64
+        if index[idx] == cur:
+            out.append(idx)
+        else:
+            index[idx] = cur
+            dr = (cur[0] - prev[0]) & 0xFF
+            dg = (cur[1] - prev[1]) & 0xFF
+            db = (cur[2] - prev[2]) & 0xFF
+            dr = dr - 256 if dr > 127 else dr
+            dg = dg - 256 if dg > 127 else dg
+            db = db - 256 if db > 127 else db
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2)
+                           | (db + 2))
+            elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                  and -8 <= db - dg <= 7):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out.append(0xFE)
+                out += bytes(cur[:3])
+        prev = cur
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00\x00\x00\x00\x00\x00\x00\x01"
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def read_qoi(path: str, to_linear: bool = True):
+    """Decode a QOI file -> (H, W, 3) float32 (linear if to_linear)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"qoif":
+        raise ValueError(f"{path}: not a QOI file")
+    w = int.from_bytes(data[4:8], "big")
+    h = int.from_bytes(data[8:12], "big")
+    channels = data[12]
+    pos = 14
+    n = w * h
+    px = np.zeros((n, 4), np.uint8)
+    index = [(0, 0, 0, 255)] * 64
+    prev = (0, 0, 0, 255)
+    i = 0
+    while i < n:
+        b0 = data[pos]
+        pos += 1
+        if b0 == 0xFE:                       # RGB
+            prev = (data[pos], data[pos + 1], data[pos + 2], prev[3])
+            pos += 3
+        elif b0 == 0xFF:                     # RGBA
+            prev = tuple(data[pos:pos + 4])
+            pos += 4
+        elif b0 >> 6 == 0:                   # index
+            prev = index[b0]
+        elif b0 >> 6 == 1:                   # diff
+            dr = ((b0 >> 4) & 3) - 2
+            dg = ((b0 >> 2) & 3) - 2
+            db = (b0 & 3) - 2
+            prev = ((prev[0] + dr) & 0xFF, (prev[1] + dg) & 0xFF,
+                    (prev[2] + db) & 0xFF, prev[3])
+        elif b0 >> 6 == 2:                   # luma
+            dg = (b0 & 0x3F) - 32
+            b1 = data[pos]
+            pos += 1
+            dr = dg + ((b1 >> 4) & 0xF) - 8
+            db = dg + (b1 & 0xF) - 8
+            prev = ((prev[0] + dr) & 0xFF, (prev[1] + dg) & 0xFF,
+                    (prev[2] + db) & 0xFF, prev[3])
+        else:                                # run
+            runl = (b0 & 0x3F) + 1
+            px[i:i + runl] = prev
+            i += runl
+            continue
+        idx = (prev[0] * 3 + prev[1] * 5 + prev[2] * 7
+               + prev[3] * 11) % 64
+        index[idx] = prev
+        px[i] = prev
+        i += 1
+    x = px[:, :3].reshape(h, w, 3).astype(np.float32) / 255.0
+    if to_linear:
+        x = np.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+    return x.astype(np.float32)
