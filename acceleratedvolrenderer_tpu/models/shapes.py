@@ -322,6 +322,39 @@ class TriangleMesh:
     material: Optional[object] = None
     uvs: Optional[np.ndarray] = None   # (V, 2) optional vertex uvs
     chunk: int = 256
+    # meshes at/above this triangle count intersect through the uniform-grid
+    # DDA accelerator (ops/trigrid — the BVHAggregate role, cpu/aggregates.h,
+    # reshaped for lockstep SIMD); below it the O(T) chunked scan wins
+    grid_threshold: int = 512
+
+    def _grid(self):
+        g = self.__dict__.get("_grid_cache")
+        if g is None:
+            from ..ops import trigrid
+
+            g = trigrid.build_tri_grid(self.vertices, self.indices)
+            object.__setattr__(self, "_grid_cache", g)
+        return g
+
+    def _shade(self, best_t, tri, bu, bv):
+        """Normal + uv from a hit triangle id (shared by both paths)."""
+        v = np.asarray(self.vertices, np.float32)
+        idx = np.asarray(self.indices, np.int32)
+        p0 = jnp.asarray(v[idx[:, 0]])
+        e1 = jnp.asarray(v[idx[:, 1]]) - p0
+        e2 = jnp.asarray(v[idx[:, 2]]) - p0
+        n = vm.normalize(jnp.cross(e1[tri], e2[tri]))
+        if self.uvs is not None:
+            uvv = jnp.asarray(self.uvs, jnp.float32)
+            jidx = jnp.asarray(idx)
+            uv0 = uvv[jidx[tri, 0]]
+            uv1 = uvv[jidx[tri, 1]]
+            uv2 = uvv[jidx[tri, 2]]
+            uv = ((1 - bu - bv)[:, None] * uv0 + bu[:, None] * uv1
+                  + bv[:, None] * uv2)
+        else:
+            uv = jnp.stack([bu, bv], -1)
+        return best_t, n, uv
 
     def _tri_arrays(self):
         v = np.asarray(self.vertices, np.float32)
@@ -334,6 +367,12 @@ class TriangleMesh:
     def intersect(self, o, d, t_max):
         t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                                  o.shape[:-1])
+        if np.asarray(self.indices).shape[0] >= self.grid_threshold:
+            from ..ops import trigrid
+
+            bt, tri_id, bu, bv = trigrid.intersect_grid(
+                self._grid(), o, d, t_max)
+            return self._shade(bt, jnp.clip(tri_id, 0, None), bu, bv)
         p0, e1, e2 = self._tri_arrays()
         T = p0.shape[0]
         C = min(self.chunk, T)
