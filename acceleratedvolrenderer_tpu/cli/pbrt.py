@@ -52,6 +52,17 @@ def main(argv=None):
                          "cpu/integrators.cpp:73-93 — trivially exact here "
                          "because RNG streams are keyed by (pixel, sample))")
     ap.add_argument("--res", default=None, help="override WxH, e.g. 640x360")
+    ap.add_argument("--quick", action="store_true",
+                    help="1/4 the pixel samples (cmd/pbrt.cpp --quick)")
+    ap.add_argument("--pixelstats", action="store_true",
+                    help="write per-pixel statistic images "
+                         "(<out>_variance.exr etc., util/stats.h "
+                         "STAT_PIXEL_COUNTER / --pixelstats)")
+    ap.add_argument("--write-partial-images", action="store_true",
+                    dest="write_partial",
+                    help="write the in-progress film at power-of-2 waves")
+    ap.add_argument("--display-server", default=None, metavar="HOST:PORT",
+                    help="stream wave images to a tev display server")
     args = ap.parse_args(argv)
 
     import os
@@ -89,6 +100,8 @@ def main(argv=None):
 
     if args.spp is not None:
         scene.spp = args.spp
+    if args.quick:
+        scene.spp = max(1, scene.spp // 4)
     if args.maxdepth is not None:
         scene.max_depth = args.maxdepth
     scene.seed = args.seed
@@ -202,6 +215,54 @@ def main(argv=None):
         stats.setdefault("spp", scene.spp)
         stats.setdefault("rays_per_sec",
                          stats["mutations"] / max(stats["render_time"], 1e-9))
+    elif args.pixelstats:
+        # per-pixel statistic images (reference --pixelstats): variance /
+        # relative-variance planes from the GBuffer-style AOV renderer
+        if args.integrator is not None:
+            scene.integrator = args.integrator
+        img, aovs, stats = render_mod.render_with_aovs(scene)
+        from ..utils.image import write_exr
+
+        base = (args.outfile or "out.exr").rsplit(".", 1)[0]
+        for k, plane in aovs.items():
+            write_exr(f"{base}_{k}.exr", plane.astype("float32"))
+            print(f"wrote {base}_{k}.exr")
+    elif args.write_partial or args.display_server:
+        # wave driver with per-pow2-wave partial writes + tev streaming
+        # (reference --write-partial-images, util/display.h DisplayDynamic)
+        if args.integrator is not None:
+            scene.integrator = args.integrator
+        import numpy as np
+
+        from ..models.film import Film
+
+        disp = None
+        if args.display_server:
+            from ..utils.display import TevDisplay
+
+            host, port = args.display_server.rsplit(":", 1)
+            disp = TevDisplay(host, int(port))
+        render_wave, density, majorant = render_mod.make_wave_renderer(scene)
+        film = Film.create(scene.height, scene.width)
+        t0 = time.time()
+        base = (args.outfile or "out.exr").rsplit(".", 1)[0]
+        for s in range(scene.spp):
+            import jax.numpy as jnp
+            film = render_wave(film, density, majorant,
+                               jnp.uint32(s))
+            if (s & (s + 1)) == 0 or s == scene.spp - 1:
+                partial = np.asarray(film.to_image())
+                if args.write_partial and s != scene.spp - 1:
+                    from ..models.film import write_film as _wf
+
+                    _wf(f"{base}_partial_s{s + 1}.exr", partial,
+                        render_time=time.time() - t0, spp=s + 1)
+                if disp is not None:
+                    disp.update("render", partial)
+        dt = time.time() - t0
+        img = np.asarray(film.to_image())
+        stats = {"render_time": dt, "spp": scene.spp,
+                 "rays_per_sec": scene.width * scene.height * scene.spp / dt}
     else:
         if args.integrator is not None:
             scene.integrator = args.integrator
@@ -233,7 +294,7 @@ def main(argv=None):
         print(json.dumps({**stats, "mse": mse_val, "outfile": out}))
     else:
         print(f"wrote {out} ({stats['render_time']:.1f}s, "
-              f"{stats['rays_per_sec'] / 1e6:.3f} Mrays/s)")
+              f"{stats.get('rays_per_sec', 0.0) / 1e6:.3f} Mrays/s)")
     return 0
 
 

@@ -315,3 +315,27 @@ def test_scalenormalmap(tmp_path):
     inp = 2 * nm - 1
     assert np.allclose(dec[..., :2], inp[..., :2] * 0.5, atol=1e-3)
     assert np.allclose((dec ** 2).sum(-1), 1.0, atol=1e-3)
+
+
+def test_pbrt_quick_partial_pixelstats(tmp_path):
+    """--quick / --write-partial-images / --pixelstats flags
+    (cmd/pbrt.cpp option block + util/stats.h --pixelstats)."""
+    import json
+    import os
+
+    from acceleratedvolrenderer_tpu.cli import pbrt as pbrt_cli
+
+    out = tmp_path / "r.exr"
+    rc = pbrt_cli.main(["preset:fog_box", "--res", "16x16", "--spp", "8",
+                        "--quick", "--cpu", "--write-partial-images",
+                        "-o", str(out)])
+    assert rc in (0, None)
+    assert out.exists()
+    assert (tmp_path / "r_partial_s1.exr").exists()
+
+    out2 = tmp_path / "p.exr"
+    rc = pbrt_cli.main(["preset:fog_box", "--res", "16x16", "--spp", "2",
+                        "--cpu", "--pixelstats", "-o", str(out2)])
+    assert rc in (0, None)
+    assert (tmp_path / "p_variance.exr").exists()
+    assert (tmp_path / "p_relative_variance.exr").exists()
