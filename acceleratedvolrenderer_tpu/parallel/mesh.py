@@ -194,6 +194,8 @@ def render_sharded(scene, mesh: Optional[Mesh] = None, spp: Optional[int] = None
 def make_sharded_regen_renderer(scene, mesh: Mesh, *, n_lanes: int = 4096,
                                 spp: Optional[int] = None,
                                 k_substeps: int = 16,
+                                stochastic_filter: bool = False,
+                                retire_groups: int = 1,
                                 axis_name: str = "rays"):
     """Sharded path-regeneration renderer: each device runs the fused regen
     kernel over its contiguous slice of the global (pixel, sample) work
@@ -277,7 +279,8 @@ def make_sharded_regen_renderer(scene, mesh: Mesh, *, n_lanes: int = 4096,
             maj_res=maj_res, homogeneous=homogeneous,
             max_depth=scene.max_depth, scene_radius=scene.scene_radius,
             max_march_steps=iter_cap, rgb_mode=med_spec.rgb,
-            k_substeps=k_substeps,
+            k_substeps=k_substeps, stochastic_filter=stochastic_filter,
+            retire_groups=retire_groups,
             prims=tuple(scene.primitives), regen=regen)
         # the one cross-device reduction: film partials over ICI
         return jax.lax.psum(res.film_rgb, axis_name)
