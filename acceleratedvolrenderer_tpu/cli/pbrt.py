@@ -63,7 +63,21 @@ def main(argv=None):
                     help="write the in-progress film at power-of-2 waves")
     ap.add_argument("--display-server", default=None, metavar="HOST:PORT",
                     help="stream wave images to a tev display server")
+    ap.add_argument("--log-utilization", action="store_true",
+                    help="sample CPU/memory use once a second "
+                         "(reference options.h:52)")
     args = ap.parse_args(argv)
+
+    util_logger = None
+    if args.log_utilization:
+        from ..utils.stats import UtilizationLogger
+
+        util_logger = UtilizationLogger(stream=sys.stderr).start()
+        import atexit
+
+        atexit.register(
+            lambda: (util_logger.stop(),
+                     print(util_logger.report(), file=sys.stderr)))
 
     import os
 

@@ -85,16 +85,44 @@ class MixTexture:
 
 
 class ImageTexture:
-    """Bilinear image lookup, wrap-repeat (pbrt ImageTexture + mipmap L0)."""
+    """Bilinear image lookup, wrap-repeat (pbrt ImageTexture).
+
+    `filtered=True` builds a MIPMap (models.mipmap: trilinear + fixed-probe
+    EWA, the util/mipmap.cpp capability) used by eval_filtered/eval_ewa when
+    the caller tracks uv footprints (ray differentials)."""
 
     def __init__(self, image: np.ndarray, scale: float = 1.0,
-                 invert: bool = False):
+                 invert: bool = False, filtered: bool = False,
+                 max_anisotropy: float = 8.0):
         img = np.asarray(image, np.float32)
         if img.ndim == 2:
             img = img[..., None]
         self.image = jnp.asarray(img)          # (H, W, C)
         self.scale = float(scale)
         self.invert = bool(invert)
+        self.mipmap = None
+        if filtered:
+            from .mipmap import MIPMap
+
+            self.mipmap = MIPMap(img, max_anisotropy=max_anisotropy)
+
+    def _post(self, out):
+        out = out * self.scale
+        if self.invert:
+            out = 1.0 - out
+        if self.image.shape[2] == 1:
+            out = out[..., 0]
+        return out
+
+    def eval_filtered(self, uv, width):
+        """Trilinear mip lookup (MIPMap::Filter); width = uv footprint."""
+        assert self.mipmap is not None, "construct with filtered=True"
+        return self._post(self.mipmap.lookup_trilinear(uv, width))
+
+    def eval_ewa(self, uv, duv0, duv1):
+        """Anisotropic EWA lookup (MIPMap::EWA)."""
+        assert self.mipmap is not None, "construct with filtered=True"
+        return self._post(self.mipmap.lookup_ewa(uv, duv0, duv1))
 
     def eval(self, uv):
         H, W, C = self.image.shape

@@ -79,3 +79,70 @@ class StatsAccumulator:
 
 
 GLOBAL_STATS = StatsAccumulator()
+
+
+class UtilizationLogger:
+    """Periodic CPU / memory sampling (--log-utilization, options.h:52).
+
+    The reference samples process CPU time and peak RSS on a logging thread
+    (util/log.cpp's utilization reporter); here a daemon thread reads
+    /proc/self/stat + /proc/stat once a second and emits
+    `utilization: cpu XX% mem YYYY MB` lines to the given stream (or
+    collects them for report())."""
+
+    def __init__(self, interval: float = 1.0, stream=None):
+        import threading
+
+        self.interval = interval
+        self.stream = stream
+        self.samples = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _read():
+        with open("/proc/self/stat") as f:
+            parts = f.read().split()
+        utime, stime = int(parts[13]), int(parts[14])
+        rss_pages = int(parts[23])
+        with open("/proc/stat") as f:
+            cpu = f.readline().split()[1:]
+        total = sum(int(x) for x in cpu)
+        import os as _os
+
+        page = _os.sysconf("SC_PAGE_SIZE")
+        return utime + stime, total, rss_pages * page
+
+    def _run(self):
+        import os as _os
+
+        ncpu = _os.cpu_count() or 1
+        prev_proc, prev_total, _ = self._read()
+        while not self._stop.wait(self.interval):
+            proc, total, rss = self._read()
+            dt_total = max(total - prev_total, 1)
+            cpu_pct = 100.0 * (proc - prev_proc) / dt_total * ncpu
+            prev_proc, prev_total = proc, total
+            sample = (cpu_pct, rss / 1e6)
+            self.samples.append(sample)
+            if self.stream is not None:
+                print(f"utilization: cpu {cpu_pct:5.1f}%  "
+                      f"mem {rss / 1e6:8.1f} MB", file=self.stream, flush=True)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread.is_alive():
+            self._thread.join(timeout=2.0)
+
+    def report(self) -> str:
+        if not self.samples:
+            return "utilization: no samples"
+        cpu = [s[0] for s in self.samples]
+        mem = [s[1] for s in self.samples]
+        return (f"utilization: cpu avg {sum(cpu) / len(cpu):.1f}% "
+                f"peak {max(cpu):.1f}%; mem peak {max(mem):.1f} MB "
+                f"({len(self.samples)} samples)")
