@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -66,7 +67,77 @@ def main(argv=None):
     ap.add_argument("--log-utilization", action="store_true",
                     help="sample CPU/memory use once a second "
                          "(reference options.h:52)")
+    # ---- remaining reference flag surface (cmd/pbrt.cpp:136-214) ----
+    ap.add_argument("--cropwindow", default=None, metavar="X0,X1,Y0,Y1",
+                    help="NDC crop window; only pixels inside are rendered")
+    ap.add_argument("--pixelbounds", default=None, metavar="X0,X1,Y0,Y1",
+                    help="integer pixel bounds; only pixels inside rendered")
+    ap.add_argument("--pixel", default=None, metavar="X,Y",
+                    help="render a single pixel (debugging)")
+    ap.add_argument("--disable-pixel-jitter", action="store_true",
+                    help="force camera samples to the pixel center")
+    ap.add_argument("--disable-wavelength-jitter", action="store_true",
+                    help="use fixed hero-wavelength strata every sample")
+    ap.add_argument("--quiet", action="store_true",
+                    help="suppress non-error output")
+    ap.add_argument("--log-level", default="error",
+                    choices=["verbose", "error", "fatal"])
+    ap.add_argument("--log-file", default=None)
+    ap.add_argument("--mse-reference-out", default=None,
+                    help="append 'spp mse seconds' per pow2 wave to this file")
+    ap.add_argument("--mse-final-only", action="store_true",
+                    help="only record the final wave's MSE")
+    ap.add_argument("--nthreads", type=int, default=None,
+                    help="host-side thread count (XLA/BLAS pools)")
+    ap.add_argument("--render-coord-sys", default="cameraworld",
+                    choices=["camera", "cameraworld", "world"],
+                    help="rendering coordinate system (accepted for parity; "
+                         "this renderer computes in world space, which only "
+                         "affects float conditioning, not results)")
+    ap.add_argument("--interactive", action="store_true")
+    ap.add_argument("--fullscreen", action="store_true")
+    ap.add_argument("--wavefront", action="store_true",
+                    help="accepted for parity: the fused TPU renderer IS the "
+                         "wavefront design (SURVEY §2.3)")
+    ap.add_argument("--gpu", action="store_true",
+                    help="accepted for parity: selects the accelerator "
+                         "backend (default on TPU)")
+    ap.add_argument("--gpu-device", type=int, default=None,
+                    help="accelerator device index")
+    ap.add_argument("--format", action="store_true",
+                    help="reformat the scene file to stdout and exit")
+    ap.add_argument("--toply", default=None, metavar="OUT.pbrt",
+                    help="reformat with inline meshes extracted to PLY")
+    ap.add_argument("--upgrade", action="store_true",
+                    help="accepted for parity (scenes are parsed as pbrt-v4)")
     args = ap.parse_args(argv)
+
+    if args.interactive or args.fullscreen:
+        ap.error("--interactive/--fullscreen need a local display (GLFW); "
+                 "use --display-server HOST:PORT for live preview instead")
+    if args.nthreads:
+        for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS"):
+            os.environ[var] = str(args.nthreads)
+
+    if args.format or args.toply:
+        from ..scene.parser import format_scene
+
+        text = format_scene(args.scene, toply=args.toply)
+        if args.toply:
+            with open(args.toply, "w") as f:
+                f.write(text)
+            if not args.quiet:
+                print(f"wrote {args.toply}")
+        else:
+            sys.stdout.write(text)
+        return 0
+
+    import logging
+
+    logging.basicConfig(
+        filename=args.log_file,
+        level={"verbose": logging.DEBUG, "error": logging.ERROR,
+               "fatal": logging.CRITICAL}[args.log_level])
 
     util_logger = None
     if args.log_utilization:
@@ -123,6 +194,24 @@ def main(argv=None):
         scene.light_sampler = args.lightsampler
     if args.regularize:
         scene.regularize = True
+    scene.disable_pixel_jitter = args.disable_pixel_jitter
+    scene.disable_wavelength_jitter = args.disable_wavelength_jitter
+    if args.pixel:
+        x, y = (int(v) for v in args.pixel.split(","))
+        scene.pixel_bounds = (x, x + 1, y, y + 1)
+    elif args.pixelbounds:
+        x0, x1, y0, y1 = (int(v) for v in args.pixelbounds.split(","))
+        scene.pixel_bounds = (x0, x1, y0, y1)
+    elif args.cropwindow:
+        cx0, cx1, cy0, cy1 = (float(v) for v in args.cropwindow.split(","))
+        W, H = scene.width, scene.height
+        scene.pixel_bounds = (int(cx0 * W), max(int(cx0 * W) + 1, int(cx1 * W)),
+                              int(cy0 * H), max(int(cy0 * H) + 1, int(cy1 * H)))
+    if args.gpu_device is not None:
+        import jax as _jax
+
+        _jax.config.update("jax_default_device",
+                           _jax.devices()[args.gpu_device])
 
     from ..parallel import render as render_mod
 
@@ -241,7 +330,7 @@ def main(argv=None):
         for k, plane in aovs.items():
             write_exr(f"{base}_{k}.exr", plane.astype("float32"))
             print(f"wrote {base}_{k}.exr")
-    elif args.write_partial or args.display_server:
+    elif args.write_partial or args.display_server or args.mse_reference_out:
         # wave driver with per-pow2-wave partial writes + tev streaming
         # (reference --write-partial-images, util/display.h DisplayDynamic)
         if args.integrator is not None:
@@ -256,6 +345,14 @@ def main(argv=None):
 
             host, port = args.display_server.rsplit(":", 1)
             disp = TevDisplay(host, int(port))
+        mse_ref = None
+        if args.mse_reference_out:
+            if not args.mse_reference_image:
+                ap.error("--mse-reference-out requires --mse-reference-image")
+            from ..utils.image import read_exr
+
+            mse_ref, _, _ = read_exr(args.mse_reference_image)
+            mse_log = open(args.mse_reference_out, "w")
         render_wave, density, majorant = render_mod.make_wave_renderer(scene)
         film = Film.create(scene.height, scene.width)
         t0 = time.time()
@@ -273,6 +370,16 @@ def main(argv=None):
                         render_time=time.time() - t0, spp=s + 1)
                 if disp is not None:
                     disp.update("render", partial)
+                if mse_ref is not None and (not args.mse_final_only
+                                            or s == scene.spp - 1):
+                    from ..utils.image import mse as _mse
+
+                    # per-wave "spp mse seconds" log (volpath_custom.cpp:86-114)
+                    mse_log.write(f"{s + 1} "
+                                  f"{_mse(partial, mse_ref[:, :, :3]):.9g} "
+                                  f"{time.time() - t0:.3f}\n")
+        if mse_ref is not None:
+            mse_log.close()
         dt = time.time() - t0
         img = np.asarray(film.to_image())
         stats = {"render_time": dt, "spp": scene.spp,
@@ -306,7 +413,7 @@ def main(argv=None):
         write_png(out.rsplit(".", 1)[0] + ".png", img)
     if args.stats:
         print(json.dumps({**stats, "mse": mse_val, "outfile": out}))
-    else:
+    elif not args.quiet:
         print(f"wrote {out} ({stats['render_time']:.1f}s, "
               f"{stats.get('rays_per_sec', 0.0) / 1e6:.3f} Mrays/s)")
     return 0

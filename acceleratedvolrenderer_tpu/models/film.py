@@ -196,7 +196,9 @@ class PixelSensor:
         return rgb * self.imaging_ratio
 
     def to_xyz(self, L, swl):
-        return self.to_sensor_rgb(L, swl) @ jnp.asarray(self.xyz_from_rgb).T
+        from ..utils.colorspace import _mat3
+
+        return _mat3(self.to_sensor_rgb(L, swl), self.xyz_from_rgb)
 
 
 # ---------------------------------------------------------------------------

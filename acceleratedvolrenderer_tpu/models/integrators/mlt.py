@@ -62,7 +62,9 @@ def _eval_F(u_vec, scene, prims, lights):
     rgb = cspace.xyz_to_rgb(sp.to_xyz(L, swl))
     rgb = jnp.nan_to_num(rgb, nan=0.0, posinf=0.0, neginf=0.0)
     rgb = jnp.maximum(rgb, 0.0)
-    lum = rgb @ jnp.asarray([0.2126, 0.7152, 0.0722])
+    # elementwise dot (a (N,3)x(3,) matmul would run bf16 on the TPU MXU)
+    lum = (0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1]
+           + 0.0722 * rgb[..., 2])
     return pix, rgb, lum
 
 

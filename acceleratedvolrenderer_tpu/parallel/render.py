@@ -55,16 +55,28 @@ def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
         density_const = jnp.ones((1, 1, 1), jnp.float32)
         majorant_const = jnp.ones((1, 1, 1), jnp.float32)
 
-    total = H * W
-    chunk = min(rays_per_wave or 262144, total)
-    n_chunks = (total + chunk - 1) // chunk
     ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     pix_all = np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1).astype(np.int32)
+    pb = getattr(scene, "pixel_bounds", None)
+    if pb is not None:
+        # --pixelbounds/--pixel/--cropwindow: render only the sub-rect
+        # (film stays full-res; untouched pixels keep zero weight)
+        x0, x1, y0, y1 = pb
+        keep = ((pix_all[:, 0] >= x0) & (pix_all[:, 0] < x1)
+                & (pix_all[:, 1] >= y0) & (pix_all[:, 1] < y1))
+        pix_all = pix_all[keep]
+    total = len(pix_all)
+    chunk = min(rays_per_wave or 262144, total)
+    n_chunks = (total + chunk - 1) // chunk
     pad = n_chunks * chunk - total
     if pad:
         pix_all = np.concatenate([pix_all, np.full((pad, 2), -1, np.int32)])
     pix_chunks = jnp.asarray(pix_all.reshape(n_chunks, chunk, 2))
-    idx_all = np.arange(n_chunks * chunk, dtype=np.uint32)
+    # RNG streams are keyed by the FLAT PIXEL INDEX (y*W + x), not the work
+    # index, so a bounds-restricted render reproduces the exact same pixel
+    # values as the full frame (--pixel debugging relies on this)
+    idx_all = (pix_all[:, 1].astype(np.int64) * W
+               + pix_all[:, 0]).astype(np.uint32)
     idx_chunks = jnp.asarray(idx_all.reshape(n_chunks, chunk))
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -77,8 +89,12 @@ def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
             scene.sampler, pixidx, sidx, scene.spp, seed=scene.seed, pix=pix)
         # camera sample: filter-importance-sampled film offset
         off = filt.sample_offset(jnp.stack([ua, ub], -1)) + 0.5
+        if getattr(scene, "disable_pixel_jitter", False):
+            off = jnp.full_like(off, 0.5)    # --disable-pixel-jitter
         # wavelengths
         rng, ul = dda.pcg_uniform(rng)
+        if getattr(scene, "disable_wavelength_jitter", False):
+            ul = jnp.full_like(ul, 0.5)      # --disable-wavelength-jitter
         swl = sp.sample_wavelengths_visible(ul)
 
         o, d = cam.generate_rays(pix, off, None)

@@ -758,3 +758,80 @@ class PbrtParser:
 
 def load_scene(path: str) -> Scene:
     return PbrtParser().parse_file(path)
+
+
+# --------------------------------------------------------------------------
+# pbrt --format / --toply: statement-level reformatting of a scene file
+# (reference cmd/pbrt.cpp `format`/`toPly` modes, via FormattingParserTarget).
+
+_BLOCK_OPEN = {"AttributeBegin", "TransformBegin", "ObjectBegin"}
+_BLOCK_CLOSE = {"AttributeEnd", "TransformEnd", "ObjectEnd"}
+
+
+def _statements(tokens):
+    """Group a token stream into (directive, args, params) statements.
+    args are the fixed positional tokens (numbers / quoted type names);
+    params is the trailing '"type name" [values]' list, kept as tokens."""
+    out = []
+    pos, n = 0, len(tokens)
+    while pos < n:
+        direc = tokens[pos]
+        pos += 1
+        args = []
+        # positional args: everything until the next directive or param decl
+        while pos < n and not tokens[pos][0].isalpha():
+            if tokens[pos].startswith('"') and " " in tokens[pos]:
+                break
+            if tokens[pos] in "[]":
+                pos += 1
+                continue
+            args.append(tokens[pos])
+            pos += 1
+        params, pos = _parse_params(tokens, pos)
+        out.append((direc, args, params))
+    return out
+
+
+def format_scene(path: str, toply: str = None) -> str:
+    """Reformat a .pbrt file with canonical indentation. With `toply`,
+    inline trianglemesh shapes are written to <toply>_NNN.ply and replaced
+    by plymesh references (the reference's `pbrt --toply out.pbrt`)."""
+    with open(path) as f:
+        toks = tokenize(f.read())
+    lines, indent, nply = [], 0, 0
+    for direc, args, params in _statements(toks):
+        if direc in _BLOCK_CLOSE:
+            indent = max(0, indent - 1)
+        if (toply and direc == "Shape" and args
+                and args[0] == '"trianglemesh"' and "P" in params
+                and "indices" in params):
+            verts = np.asarray(_floats(params["P"][1]),
+                               np.float32).reshape(-1, 3)
+            faces = np.asarray([int(v) for v in params["indices"][1]],
+                               np.int32).reshape(-1, 3)
+            norms = (np.asarray(_floats(params["N"][1]),
+                                np.float32).reshape(-1, 3)
+                     if "N" in params else None)
+            uvs = (np.asarray(_floats(params["uv"][1]),
+                              np.float32).reshape(-1, 2)
+                   if "uv" in params else None)
+            from ..utils.ply import write_ply
+
+            ply_path = f"{toply.rsplit('.', 1)[0]}_{nply:03d}.ply"
+            write_ply(ply_path, verts, faces, normals=norms, uvs=uvs)
+            nply += 1
+            rest = {k: v for k, v in params.items()
+                    if k not in ("P", "indices", "N", "uv")}
+            args = ['"plymesh"']
+            params = {"filename": ("string", [f'"{ply_path}"']), **rest}
+        pad = "    " * indent
+        head = " ".join([direc] + args)
+        body = []
+        for pname, (ptype, vals) in params.items():
+            v = " ".join(str(x) for x in vals)
+            body.append(f'{pad}    "{ptype} {pname}" [ {v} ]')
+        lines.append(pad + head)
+        lines.extend(body)
+        if direc in _BLOCK_OPEN:
+            indent += 1
+    return "\n".join(lines) + "\n"

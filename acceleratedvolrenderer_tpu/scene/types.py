@@ -41,6 +41,15 @@ class Scene:
     light_sampler: str = "uniform"
     # pbrt --regularize flag (widen near-specular lobes after first bounce)
     regularize: bool = False
+    # global debug toggles (reference PBRTOptions, options.h:47-74):
+    # --disable-pixel-jitter / --disable-wavelength-jitter force camera
+    # samples to the pixel center / hero wavelengths to fixed strata
+    disable_pixel_jitter: bool = False
+    disable_wavelength_jitter: bool = False
+    # --pixelbounds / --pixel / --cropwindow: only pixels inside
+    # [x0, x1) x [y0, y1) are rendered (film stays full-resolution, like
+    # the reference's Film::PixelBounds restriction)
+    pixel_bounds: Optional[tuple] = None
 
     @property
     def width(self):

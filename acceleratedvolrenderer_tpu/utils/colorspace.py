@@ -20,12 +20,21 @@ XYZ_TO_SRGB = np.array(
 SRGB_TO_XYZ = np.linalg.inv(XYZ_TO_SRGB.astype(np.float64)).astype(np.float32)
 
 
+def _mat3(v, m):
+    """(..., 3) x (3, 3)^T as broadcast multiply-adds: exact float32 on the
+    TPU VPU (a 3-wide matmul would hit the MXU at bfloat16 precision and
+    vary with batch shape)."""
+    m = jnp.asarray(m)
+    return (v[..., 0:1] * m[:, 0] + v[..., 1:2] * m[:, 1]
+            + v[..., 2:3] * m[:, 2])
+
+
 def xyz_to_rgb(xyz):
-    return xyz @ jnp.asarray(XYZ_TO_SRGB).T
+    return _mat3(xyz, XYZ_TO_SRGB)
 
 
 def rgb_to_xyz(rgb):
-    return rgb @ jnp.asarray(SRGB_TO_XYZ).T
+    return _mat3(rgb, SRGB_TO_XYZ)
 
 
 def linear_to_srgb(x):

@@ -116,17 +116,31 @@ class Transform(NamedTuple):
     def inverse(self) -> "Transform":
         return Transform(self.m_inv, self.m)
 
+    # NOTE: the apply_* products are written as broadcast multiply-adds, NOT
+    # `v @ m.T`.  A (N,3)x(3,3) matmul goes to the TPU MXU at its default
+    # bfloat16 precision (~2e-3 relative error on ray directions, and the
+    # error varies with batch shape, breaking layout-independent images);
+    # the elementwise form runs exactly in float32 on the VPU and is also
+    # faster than padding a 3-wide contraction onto the 128x128 MXU.
+
+    def _mat3_vec(self, m, v):
+        return (v[..., 0:1] * m[:3, 0] + v[..., 1:2] * m[:3, 1]
+                + v[..., 2:3] * m[:3, 2])
+
     def apply_point(self, p):
-        r = p @ self.m[:3, :3].T + self.m[:3, 3]
-        w = p @ self.m[3, :3].T + self.m[3, 3]
+        r = self._mat3_vec(self.m, p) + self.m[:3, 3]
+        w = (p[..., 0] * self.m[3, 0] + p[..., 1] * self.m[3, 1]
+             + p[..., 2] * self.m[3, 2] + self.m[3, 3])
         return r / w[..., None]
 
     def apply_vector(self, v):
-        return v @ self.m[:3, :3].T
+        return self._mat3_vec(self.m, v)
 
     def apply_normal(self, n):
         # normals transform by the inverse transpose
-        return n @ self.m_inv[:3, :3]
+        m = self.m_inv
+        return (n[..., 0:1] * m[0, :3] + n[..., 1:2] * m[1, :3]
+                + n[..., 2:3] * m[2, :3])
 
     def apply_ray(self, o, d):
         return self.apply_point(o), self.apply_vector(d)

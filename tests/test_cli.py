@@ -339,3 +339,96 @@ def test_pbrt_quick_partial_pixelstats(tmp_path):
     assert rc in (0, None)
     assert (tmp_path / "p_variance.exr").exists()
     assert (tmp_path / "p_relative_variance.exr").exists()
+
+
+SCENE_TXT = (
+    'LookAt 0.5 0.5 -3  0.5 0.5 0.5  0 1 0\n'
+    'Camera "perspective" "float fov" [30]\n'
+    'Film "rgb" "integer xresolution" [12] "integer yresolution" [8]\n'
+    'Sampler "halton" "integer pixelsamples" [2]\n'
+    'Integrator "volpath" "integer maxdepth" [3]\n'
+    'WorldBegin\n'
+    'LightSource "infinite" "rgb L" [0.5 0.5 0.5]\n'
+    'AttributeBegin\n'
+    'Shape "trianglemesh" "point3 P" [0 0 0  1 0 0  0 1 0]'
+    ' "integer indices" [0 1 2]\n'
+    'AttributeEnd\n'
+)
+
+
+def test_pbrt_format_and_toply(tmp_path):
+    """pbrt --format reformats; --toply extracts inline meshes to PLY
+    (cmd/pbrt.cpp format/toPly modes)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from acceleratedvolrenderer_tpu.cli import pbrt as pbrt_cli
+    from acceleratedvolrenderer_tpu.scene.parser import load_scene
+
+    scene = tmp_path / "s.pbrt"
+    scene.write_text(SCENE_TXT)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = pbrt_cli.main([str(scene), "--format"])
+    assert rc in (0, None)
+    text = buf.getvalue()
+    assert '"float fov" [ 30 ]' in text
+    assert '    Shape "trianglemesh"' in text  # indented inside the block
+
+    out = tmp_path / "t.pbrt"
+    rc = pbrt_cli.main([str(scene), "--toply", str(out)])
+    assert rc in (0, None)
+    formatted = out.read_text()
+    assert "plymesh" in formatted and "trianglemesh" not in formatted
+    assert (tmp_path / "t_000.ply").exists()
+    # the converted scene parses back with the same triangle
+    s = load_scene(str(out))
+    assert len(s.primitives) == 1
+
+
+def test_pbrt_pixel_bounds_matches_full_frame(tmp_path):
+    """--pixel renders ONLY that pixel, bit-equal to the full frame (RNG
+    streams are keyed by flat pixel index, not work index)."""
+    import numpy as np
+
+    from acceleratedvolrenderer_tpu.cli import pbrt as pbrt_cli
+    from acceleratedvolrenderer_tpu.utils.image import read_exr
+
+    scene = tmp_path / "s.pbrt"
+    scene.write_text(SCENE_TXT)
+    full = tmp_path / "full.exr"
+    one = tmp_path / "one.exr"
+    assert pbrt_cli.main([str(scene), "-o", str(full), "--cpu",
+                          "--quiet"]) in (0, None)
+    assert pbrt_cli.main([str(scene), "-o", str(one), "--cpu", "--quiet",
+                          "--pixel", "5,5"]) in (0, None)
+    a, _, _ = read_exr(str(full))
+    b, _, _ = read_exr(str(one))
+    assert np.array_equal(a[5, 5], b[5, 5])
+    mask = np.ones((8, 12), bool)
+    mask[5, 5] = False
+    assert (b.sum(-1)[mask] == 0).all()
+
+
+def test_pbrt_disable_jitter_flags(tmp_path):
+    """--disable-pixel-jitter / --disable-wavelength-jitter make every spp
+    sample identical -> 2-spp image equals 1-spp image."""
+    import numpy as np
+
+    from acceleratedvolrenderer_tpu.cli import pbrt as pbrt_cli
+    from acceleratedvolrenderer_tpu.utils.image import read_exr
+
+    scene = tmp_path / "s.pbrt"
+    # env light only: with pixel+wavelength jitter disabled, every sample's
+    # path is fully deterministic, so the 2-spp mean equals the 1-spp image
+    txt = "\n".join(l for l in SCENE_TXT.splitlines()
+                    if "trianglemesh" not in l and "Attribute" not in l)
+    scene.write_text(txt.replace('"halton"', '"independent"'))
+    outs = []
+    for spp, name in ((1, "a.exr"), (2, "b.exr")):
+        out = tmp_path / name
+        assert pbrt_cli.main([str(scene), "-o", str(out), "--cpu", "--quiet",
+                              "--spp", str(spp), "--disable-pixel-jitter",
+                              "--disable-wavelength-jitter"]) in (0, None)
+        outs.append(read_exr(str(out))[0])
+    assert np.allclose(outs[0], outs[1], atol=1e-6)
