@@ -203,10 +203,15 @@ def main(argv=None):
         x0, x1, y0, y1 = (int(v) for v in args.pixelbounds.split(","))
         scene.pixel_bounds = (x0, x1, y0, y1)
     elif args.cropwindow:
+        import math
+
         cx0, cx1, cy0, cy1 = (float(v) for v in args.cropwindow.split(","))
         W, H = scene.width, scene.height
-        scene.pixel_bounds = (int(cx0 * W), max(int(cx0 * W) + 1, int(cx1 * W)),
-                              int(cy0 * H), max(int(cy0 * H) + 1, int(cy1 * H)))
+        # NDC→pixels with ceil on both bounds, matching the reference
+        # (film.cpp:134-137 pMin=ceil(full.pMin + crop.pMin*diag) etc.)
+        x0, x1 = math.ceil(cx0 * W), math.ceil(cx1 * W)
+        y0, y1 = math.ceil(cy0 * H), math.ceil(cy1 * H)
+        scene.pixel_bounds = (x0, max(x0 + 1, x1), y0, max(y0 + 1, y1))
     if args.gpu_device is not None:
         import jax as _jax
 
@@ -230,6 +235,25 @@ def main(argv=None):
         print(json.dumps({"pixel": [x, y], "sample": sidx,
                           "rgb_mean_up_to_sample": [float(v) for v in img[y, x]]}))
         return 0
+
+    # pixel-bounds / jitter options are honored only by the wave/regen
+    # renderers; the reference applies PBRTOptions globally, so warn loudly
+    # when an integrator that ignores them is selected (ADVICE r1).
+    if args.integrator in ("mlt", "bdpt", "sppm", "lightpath", "analyzer"):
+        ignored = []
+        if getattr(scene, "pixel_bounds", None) is not None:
+            ignored.append("--pixel/--pixelbounds/--cropwindow")
+        if args.disable_pixel_jitter:
+            ignored.append("--disable-pixel-jitter")
+        if args.disable_wavelength_jitter:
+            ignored.append("--disable-wavelength-jitter")
+        if ignored:
+            import warnings
+
+            warnings.warn(
+                f"--integrator {args.integrator} ignores "
+                f"{', '.join(ignored)}; rendering the full frame with "
+                f"default jitter")
 
     if args.integrator == "graph" and args.graph_debug:
         import time as _time

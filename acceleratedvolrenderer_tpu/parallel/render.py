@@ -60,10 +60,23 @@ def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
     pb = getattr(scene, "pixel_bounds", None)
     if pb is not None:
         # --pixelbounds/--pixel/--cropwindow: render only the sub-rect
-        # (film stays full-res; untouched pixels keep zero weight)
+        # (film stays full-res; untouched pixels keep zero weight).
+        # Intersect with the film extent like the reference (film.cpp:114-118)
+        # — warn if clipped, error if the intersection is empty.
         x0, x1, y0, y1 = pb
-        keep = ((pix_all[:, 0] >= x0) & (pix_all[:, 0] < x1)
-                & (pix_all[:, 1] >= y0) & (pix_all[:, 1] < y1))
+        cx0, cx1 = max(0, int(x0)), min(W, int(x1))
+        cy0, cy1 = max(0, int(y0)), min(H, int(y1))
+        if cx0 >= cx1 or cy0 >= cy1:
+            raise ValueError(
+                f"pixel bounds ({x0},{x1},{y0},{y1}) do not intersect the "
+                f"{W}x{H} film")
+        if (cx0, cx1, cy0, cy1) != (int(x0), int(x1), int(y0), int(y1)):
+            import warnings
+            warnings.warn(
+                f"pixel bounds clipped to film extent: "
+                f"({cx0},{cx1},{cy0},{cy1})")
+        keep = ((pix_all[:, 0] >= cx0) & (pix_all[:, 0] < cx1)
+                & (pix_all[:, 1] >= cy0) & (pix_all[:, 1] < cy1))
         pix_all = pix_all[keep]
     total = len(pix_all)
     chunk = min(rays_per_wave or 262144, total)

@@ -233,18 +233,25 @@ class PbrtParser:
         self.state.ctm = self.state.ctm @ m
         return p + 4
 
+    @staticmethod
+    def _matrix16(t, p):
+        """Read 16 floats at t[p:], with or without surrounding brackets."""
+        if t[p] == "[":
+            v = _floats(t[p + 1: p + 17])
+            assert t[p + 17] == "]", "Transform matrix missing closing ']'"
+            return v, p + 18
+        return _floats(t[p: p + 16]), p + 16
+
     def _h_Transform(self, t, p):
-        assert t[p] == "["
-        v = _floats(t[p + 1: p + 17])
+        v, p = self._matrix16(t, p)
         # pbrt matrices are column-major in the file
         self.state.ctm = np.asarray(v, np.float64).reshape(4, 4).T
-        return p + 18
+        return p
 
     def _h_ConcatTransform(self, t, p):
-        assert t[p] == "["
-        v = _floats(t[p + 1: p + 17])
+        v, p = self._matrix16(t, p)
         self.state.ctm = self.state.ctm @ np.asarray(v, np.float64).reshape(4, 4).T
-        return p + 18
+        return p
 
     def _h_Identity(self, t, p):
         self.state.ctm = np.eye(4)
@@ -782,9 +789,10 @@ def _statements(tokens):
         while pos < n and not tokens[pos][0].isalpha():
             if tokens[pos].startswith('"') and " " in tokens[pos]:
                 break
-            if tokens[pos] in "[]":
-                pos += 1
-                continue
+            # keep bracket tokens verbatim so bracketed positional args
+            # (Transform/ConcatTransform matrices) round-trip through
+            # format_scene → parse (reference FormattingParserTarget
+            # preserves brackets, parser.cpp)
             args.append(tokens[pos])
             pos += 1
         params, pos = _parse_params(tokens, pos)

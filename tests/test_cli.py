@@ -432,3 +432,31 @@ def test_pbrt_disable_jitter_flags(tmp_path):
                               "--disable-wavelength-jitter"]) in (0, None)
         outs.append(read_exr(str(out))[0])
     assert np.allclose(outs[0], outs[1], atol=1e-6)
+
+
+def test_pbrt_pixel_bounds_clamped_and_empty(tmp_path):
+    """Out-of-range pixel bounds are clamped to the film extent (with a
+    warning); an empty intersection raises instead of ZeroDivisionError
+    (reference film.cpp:114-118). ADVICE r1 regression test."""
+    import warnings
+
+    import pytest
+
+    from acceleratedvolrenderer_tpu.cli import pbrt as pbrt_cli
+    from acceleratedvolrenderer_tpu.utils.image import read_exr
+
+    scene = tmp_path / "s.pbrt"
+    scene.write_text(SCENE_TXT)   # 12x8 film
+    out = tmp_path / "c.exr"
+    # bounds straddling the right edge: clamped, renders, warns
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert pbrt_cli.main([str(scene), "-o", str(out), "--cpu", "--quiet",
+                              "--pixelbounds", "10,20,5,6"]) in (0, None)
+    assert any("clipped" in str(w.message) for w in rec)
+    img, _, _ = read_exr(str(out))
+    assert img.shape[:2] == (8, 12)
+    # fully outside the film: clear error, not ZeroDivisionError
+    with pytest.raises(ValueError, match="do not intersect"):
+        pbrt_cli.main([str(scene), "-o", str(out), "--cpu", "--quiet",
+                       "--pixel", "20,20"])

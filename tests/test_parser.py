@@ -184,3 +184,48 @@ AttributeEnd
     img, _ = render_mod.render(sc)
     assert np.isfinite(img).all()
     assert img.max() > 0.0
+
+
+def test_format_scene_transform_roundtrip(tmp_path):
+    """--format output must reparse: Transform/ConcatTransform brackets
+    are preserved (reference FormattingParserTarget keeps them)."""
+    from acceleratedvolrenderer_tpu.scene.parser import format_scene, load_scene
+
+    txt = '''
+Camera "perspective" "float fov" [40]
+Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+WorldBegin
+AttributeBegin
+Transform [ 1 0 0 0  0 1 0 0  0 0 1 0  0.5 0 4 1 ]
+ConcatTransform [ 2 0 0 0  0 2 0 0  0 0 2 0  0 0 0 1 ]
+Shape "sphere" "float radius" [1]
+AttributeEnd
+'''
+    f = tmp_path / "t.pbrt"
+    f.write_text(txt)
+    formatted = format_scene(str(f))
+    f2 = tmp_path / "t2.pbrt"
+    f2.write_text(formatted)
+    sc1 = load_scene(str(f))
+    sc2 = load_scene(str(f2))   # must not raise
+    assert len(sc1.primitives) == len(sc2.primitives) == 1
+    import numpy as np
+    c1 = np.asarray(sc1.primitives[0].center)
+    c2 = np.asarray(sc2.primitives[0].center)
+    assert np.allclose(c1, c2, atol=1e-5)
+
+
+def test_unbracketed_transform_parses(tmp_path):
+    from acceleratedvolrenderer_tpu.scene.parser import load_scene
+
+    txt = '''
+Camera "perspective" "float fov" [40]
+Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+WorldBegin
+Transform 1 0 0 0  0 1 0 0  0 0 1 0  0 0 4 1
+Shape "sphere" "float radius" [1]
+'''
+    f = tmp_path / "u.pbrt"
+    f.write_text(txt)
+    sc = load_scene(str(f))
+    assert len(sc.primitives) == 1
