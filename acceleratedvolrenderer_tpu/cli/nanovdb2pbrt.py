@@ -6,14 +6,15 @@ densifies the index bounding box, and prints the `"integer nx/ny/nz"`,
 into a `MakeNamedMedium "..." "string type" "uniformgrid"` statement.  This
 is how the Disney cloud VDB becomes a dense grid the renderer ingests.
 
-Inputs here are dense arrays (.npy / .npz with a named array / raw float32
-with --dims), produced by e.g. `nanovdb_convert`/openvdb tooling upstream —
-this environment has neither the NanoVDB codec libraries nor any .nvdb
-asset to validate a binary parser against, so the converter covers the
-dense leg of the pipeline and matches the reference tool's output format
-exactly.  --downsample halves resolution N times by 2x2x2 mean pooling
-(the reference tool parses this flag but never applies it —
-nanovdb2pbrt.cpp:70 — here it works).
+Inputs: real NanoVDB `.nvdb` files (parsed by `utils/nvdb.py` — header,
+grid metadata, sparse tree densification; NONE and ZIP codecs) plus dense
+arrays (.npy / .npz with a named array / raw float32 with --dims).  For
+.nvdb input the output mirrors the reference exactly: the grid is
+densified over [indexBBox.min, indexBBox.max + 1] (the reference loops
+`x <= x1` with `x1 = max+1`, nanovdb2pbrt.cpp:103-110) and p0/p1 come
+from the grid's worldBBox.  --downsample halves resolution N times by
+2x2x2 mean pooling (the reference tool parses this flag but never applies
+it — nanovdb2pbrt.cpp:70 — here it works).
 """
 from __future__ import annotations
 
@@ -21,6 +22,22 @@ import argparse
 import sys
 
 import numpy as np
+
+
+def load_nvdb(path: str, grid: str):
+    """Densify a .nvdb float grid with the reference converter's exact
+    semantics: values over the inclusive index bbox plus one extra layer
+    (tree getValue returns background outside stored nodes), world-space
+    p0/p1 = the grid's worldBBox (nanovdb2pbrt.cpp:97-116)."""
+    from ..utils import nvdb
+
+    g = nvdb.read_nvdb(path, grid)
+    if not (g.is_fog_volume or g.grid_class == nvdb.GRID_CLASS_UNKNOWN):
+        raise SystemExit(f'{path}: "{grid}" isn\'t a FogVolume grid?')
+    nz, ny, nx = g.data.shape
+    arr = np.full((nz + 1, ny + 1, nx + 1), g.background, np.float32)
+    arr[:nz, :ny, :nx] = g.data
+    return arr, g.world_bbox[0], g.world_bbox[1]
 
 
 def load_grid(path: str, grid: str, dims=None):
@@ -96,11 +113,14 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     dims = tuple(int(x) for x in args.dims.split(",")) if args.dims else None
-    arr = load_grid(args.filename, args.grid, dims)
+    if args.filename.endswith(".nvdb"):
+        arr, p0, p1 = load_nvdb(args.filename, args.grid)
+    else:
+        arr = load_grid(args.filename, args.grid, dims)
+        p0 = [float(x) for x in args.p0.split(",")]
+        p1 = [float(x) for x in args.p1.split(",")]
     for _ in range(max(args.downsample, 0)):
         arr = downsample2(arr)
-    p0 = [float(x) for x in args.p0.split(",")]
-    p1 = [float(x) for x in args.p1.split(",")]
     if args.outfile:
         with open(args.outfile, "w") as fh:
             emit_pbrt(arr, p0, p1, args.grid, fh)

@@ -13,6 +13,8 @@ from acceleratedvolrenderer_tpu.scene import Scene
 from acceleratedvolrenderer_tpu.utils import spectrum as sp
 from acceleratedvolrenderer_tpu.utils import vecmath as vm
 
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 #9 test tiering)
+
 
 def flat(c):
     return sp.constant_spectrum(c)

@@ -10,6 +10,8 @@ import pytest
 
 from acceleratedvolrenderer_tpu.models import measured as ms
 
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 #9 test tiering)
+
 ALPHA = 0.3
 
 

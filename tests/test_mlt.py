@@ -1,5 +1,6 @@
 """MLT tests: PSSMLT converges to the forward path-traced image
 (cpu/integrators.cpp MLTIntegrator semantics; normalization via bootstrap)."""
+import pytest
 import numpy as np
 
 from acceleratedvolrenderer_tpu.models import lights as lm
@@ -12,6 +13,8 @@ from acceleratedvolrenderer_tpu.parallel import render as render_mod
 from acceleratedvolrenderer_tpu.scene import Scene
 from acceleratedvolrenderer_tpu.utils import spectrum as sp
 from acceleratedvolrenderer_tpu.utils import vecmath as vm
+
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 #9 test tiering)
 
 
 def flat(c):

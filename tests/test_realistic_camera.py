@@ -1,4 +1,5 @@
 """RealisticCamera lens tracing (cameras.h:466)."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -6,6 +7,8 @@ from acceleratedvolrenderer_tpu.models.cameras import (RealisticCamera,
                                                        SIMPLE_LENS,
                                                        load_lens_file)
 from acceleratedvolrenderer_tpu.utils import vecmath as vm
+
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 #9 test tiering)
 
 
 def _cam(**kw):

@@ -1,6 +1,7 @@
 """SPPM integrator tests — the reference's analytic furnace pattern
 (cpu/integrators_test.cpp CheckSceneAverage) applied to the photon-mapping
 estimator, plus a cross-check against the path integrator on an open scene."""
+import pytest
 import numpy as np
 
 from acceleratedvolrenderer_tpu.models import lights as lm
@@ -13,6 +14,8 @@ from acceleratedvolrenderer_tpu.parallel import render as render_mod
 from acceleratedvolrenderer_tpu.scene import Scene
 from acceleratedvolrenderer_tpu.utils import spectrum as sp
 from acceleratedvolrenderer_tpu.utils import vecmath as vm
+
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 #9 test tiering)
 
 
 def flat(c):
