@@ -225,6 +225,29 @@ def li(
     maj_res_i = jnp.asarray(maj_res, jnp.int32)
     rz, ry, rx = med.majorant.shape
 
+    # sampling-side sigma spectra: optional FROZEN overrides (like
+    # density_s) so the sample distribution stays parameter-independent
+    # when the evaluation-side sigma_a/sigma_s are perturbed — required for
+    # the detached-estimator FD==AD contract on spectrum coefficients.
+    # Without overrides this reduces to sg() of the live spectra (identical
+    # values, gradients blocked).
+    has_samp_sigma = getattr(med, "sigma_a_s", None) is not None
+    if has_samp_sigma:
+        assert not rgb_mode and regen is None, (
+            "sampling-side sigma overrides support only the plain spectral "
+            "path")
+        _sa_smp = jnp.broadcast_to(
+            jnp.asarray(med.sigma_a_s, jnp.float32), (N, LANES))
+        _ss_smp = jnp.broadcast_to(
+            jnp.asarray(med.sigma_s_s, jnp.float32), (N, LANES))
+        _st_smp = _sa_smp + _ss_smp
+
+        def samp_sigma(c):
+            return _sa_smp, _ss_smp, _st_smp
+    else:
+        def samp_sigma(c):
+            return sg(c.s_a), sg(c.s_s), sg(c.s_t)
+
     def init_segment(so, sd, t_max, rng, need, old, need_main=None):
         """(Re)initialize DDA registers for rays in `need`; draws the first
         tau target.  Rays in `need_main` also re-intersect the opaque
@@ -241,7 +264,7 @@ def li(
         dda, t0 = dda_init(so, sd, t_max, med.w2m, maj_res)
         rng, u0 = pcg_uniform_masked(rng, need & dda.in_medium)
         u0 = jnp.minimum(u0, ONE_MINUS_EPSILON)
-        st0 = sg(old.s_t[:, 0])   # sampling stays detached
+        st0 = samp_sigma(old)[2][:, 0]   # sampling stays detached/frozen
         dl0 = jnp.where(st0 > 0, -jnp.log1p(-u0) / jnp.maximum(st0, 1e-30), jnp.inf)
         sel = need
         sel3 = need[:, None]
@@ -371,6 +394,10 @@ def li(
     dens_dims = tuple(int(x) for x in med.density.shape)
     dens_s_flat = (med.density_s.reshape(-1)
                    if med.density_s is not None else None)
+    le_grid_flat = (med.Le_grid.reshape(-1)
+                    if getattr(med, "Le_grid", None) is not None else None)
+    le_grid_dims = (tuple(int(x) for x in med.Le_grid.shape)
+                    if le_grid_flat is not None else None)
     _maj_size = 1
     for _d in med.majorant.shape:
         _maj_size *= int(_d)
@@ -549,16 +576,23 @@ def li(
             ss = _sp.rgb_to_spectrum_smits_batched(rgb_s, c.lam)
             sa_d = sg(sa)
             ss_d = sg(ss)
+        if rgb_mode:
+            st_smp = sg(c.s_t)
         else:
+            sa_smp, ss_smp, st_smp = samp_sigma(c)
             sa = c.s_a * dens[:, None]                 # evaluation side (diff)
             ss = c.s_s * dens[:, None]
-            sa_d = sg(c.s_a) * dens_d[:, None]         # sampling side (frozen)
-            ss_d = sg(c.s_s) * dens_d[:, None]
+            sa_d = sa_smp * dens_d[:, None]            # sampling side (frozen)
+            ss_d = ss_smp * dens_d[:, None]
         sig_maj = c.s_t * maxd[:, None]
-        sig_maj0 = sg(sig_maj[:, 0])
+        # sampling-side majorant / free-flight transmittance: frozen values
+        # when sigma overrides are set, else sg() of the live quantities
+        sig_maj_d = sg(st_smp * maxd[:, None])
+        sig_maj0 = sig_maj_d[:, 0]
         T_maj = jnp.exp(-c.s_t * c.dl_since[:, None])
+        T_maj_d = sg(jnp.exp(-st_smp * c.dl_since[:, None]))
         sig_n = jnp.clip(sig_maj - sa - ss, 0.0, None)
-        sig_n_d = sg(jnp.clip(sg(sig_maj) - sa_d - ss_d, 0.0, None))
+        sig_n_d = sg(jnp.clip(sig_maj_d - sa_d - ss_d, 0.0, None))
 
         # =========== MAIN-PATH COLLISIONS (pc == MARCH) ===========
         col_m = col_any & (c.pc == PC_MARCH)
@@ -571,15 +605,25 @@ def li(
 
         # emission at every main collision while depth < max_depth
         # (pdf + ratio trackers detached: sampling-side quantities)
-        pdf_e = sg(sig_maj0 * T_maj[:, 0])
+        pdf_e = sg(sig_maj0 * T_maj_d[:, 0])
         betap = c.beta * T_maj / jnp.maximum(pdf_e, 1e-30)[:, None]
-        r_e = sg(c.r_u * sig_maj * T_maj) / jnp.maximum(pdf_e, 1e-30)[:, None]
+        r_e = sg(c.r_u * sig_maj_d * T_maj_d) / jnp.maximum(pdf_e, 1e-30)[:, None]
         r_e_avg = sg(jnp.mean(r_e, axis=-1))
         if rgb_mode and med.Le_rgb is not None:
             rgb_e = (gridops.trilerp_vec_stochastic(med.Le_rgb, p_m, u3f)
                      if stochastic_filter
                      else gridops.trilerp_vec(med.Le_rgb, p_m))
             Le_here = _sp.rgb_to_spectrum_smits_batched(rgb_e, c.lam)
+        elif le_grid_flat is not None and not homogeneous:
+            # per-voxel emission scale grid (GridMedium's LeScale /
+            # temperature-grid analogue, media.h:300-316) — differentiable
+            # emission voxels for the adjoint contract
+            le_s = (gridops.trilerp_stochastic_flat(le_grid_flat,
+                                                    le_grid_dims, p_m, u3f)
+                    if stochastic_filter
+                    else gridops.trilerp_flat(le_grid_flat, le_grid_dims,
+                                              p_m))
+            Le_here = c.s_le * le_s[:, None]
         else:
             Le_here = c.s_le
         contrib_e = betap * sa * Le_here / jnp.maximum(r_e_avg, 1e-30)[:, None]
@@ -589,20 +633,20 @@ def li(
         # null updates (main): pdf denominators + ratio trackers live on the
         # sampling side (frozen density); only beta's sigma numerators are
         # differentiable
-        pdf_null = sg(T_maj[:, 0] * sig_n_d[:, 0])
+        pdf_null = sg(T_maj_d[:, 0] * sig_n_d[:, 0])
         null_ok = pdf_null > 0
         f_null = jnp.where(null_ok[:, None],
                            T_maj * sig_n / jnp.maximum(pdf_null, 1e-30)[:, None], 0.0)
         f_null_d = sg(jnp.where(null_ok[:, None],
-                                T_maj * sig_n_d / jnp.maximum(pdf_null, 1e-30)[:, None], 0.0))
+                                T_maj_d * sig_n_d / jnp.maximum(pdf_null, 1e-30)[:, None], 0.0))
         f_null_l = sg(jnp.where(null_ok[:, None],
-                                T_maj * sig_maj / jnp.maximum(pdf_null, 1e-30)[:, None], 0.0))
-        pdf_sc = sg(T_maj[:, 0] * ss_d[:, 0])
+                                T_maj_d * sig_maj_d / jnp.maximum(pdf_null, 1e-30)[:, None], 0.0))
+        pdf_sc = sg(T_maj_d[:, 0] * ss_d[:, 0])
         sc_ok = pdf_sc > 0
         f_sc = jnp.where(sc_ok[:, None],
                          T_maj * ss / jnp.maximum(pdf_sc, 1e-30)[:, None], 0.0)
         f_sc_d = sg(jnp.where(sc_ok[:, None],
-                              T_maj * ss_d / jnp.maximum(pdf_sc, 1e-30)[:, None], 0.0))
+                              T_maj_d * ss_d / jnp.maximum(pdf_sc, 1e-30)[:, None], 0.0))
 
         beta = jnp.where(is_null[:, None], c.beta * f_null,
                          jnp.where(is_scatter[:, None], c.beta * f_sc, c.beta))
@@ -618,12 +662,15 @@ def li(
 
         # =========== MAIN-PATH SEGMENT END (pc == MARCH) ===========
         esc_m = c.seg_escaped & (c.pc == PC_MARCH)
-        # residual T_maj / T_maj[0]
+        # residual T_maj / T_maj[0] (eval numerator over sampling-side pdf;
+        # the ratio trackers multiply by the all-sampling-side form)
         T_res = jnp.exp(-c.s_t * c.dl_since[:, None])
-        f_res = T_res / jnp.maximum(sg(T_res[:, 0:1]), 1e-30)
+        T_res_d = sg(jnp.exp(-st_smp * c.dl_since[:, None]))
+        f_res = T_res / jnp.maximum(T_res_d[:, 0:1], 1e-30)
+        f_res_d = sg(T_res_d / jnp.maximum(T_res_d[:, 0:1], 1e-30))
         beta = jnp.where(esc_m[:, None], beta * f_res, beta)
-        r_u = sg(jnp.where(esc_m[:, None], r_u * f_res, r_u))
-        r_l = sg(jnp.where(esc_m[:, None], r_l * f_res, r_l))
+        r_u = sg(jnp.where(esc_m[:, None], r_u * f_res_d, r_u))
+        r_l = sg(jnp.where(esc_m[:, None], r_l * f_res_d, r_l))
 
         if has_surf:
             hit_surf = esc_m & jnp.isfinite(c.t_surf)
@@ -704,17 +751,17 @@ def li(
 
         # =========== NEE COLLISIONS (pc == NEE) ===========
         col_s = col_any & (c.pc == PC_NEE)
-        pdf_rt = sg(T_maj[:, 0] * sig_maj0)
+        pdf_rt = sg(T_maj_d[:, 0] * sig_maj0)
         inv_rt = 1.0 / jnp.maximum(pdf_rt, 1e-30)
         ok_rt = (pdf_rt > 0)
         T_ray = jnp.where((col_s & ok_rt)[:, None],
                           c.T_ray * T_maj * sig_n * inv_rt[:, None], c.T_ray)
         r_l_s = sg(jnp.where((col_s & ok_rt)[:, None],
-                             c.r_l_s * T_maj * sig_maj * inv_rt[:, None], c.r_l_s))
+                             c.r_l_s * T_maj_d * sig_maj_d * inv_rt[:, None], c.r_l_s))
         # r_u_s tracks the sampling-side null products (== T_ray at the
         # sampling point), so it doubles as the RR decision statistic
         r_u_s = sg(jnp.where((col_s & ok_rt)[:, None],
-                             c.r_u_s * T_maj * sig_n_d * inv_rt[:, None], c.r_u_s))
+                             c.r_u_s * T_maj_d * sig_n_d * inv_rt[:, None], c.r_u_s))
         denom_rr = jnp.mean(r_l_s + r_u_s, axis=-1)
         Tr = r_u_s / jnp.maximum(denom_rr, 1e-30)[:, None]
         rr = col_s & (jnp.max(Tr, axis=-1) < 0.05)
@@ -727,8 +774,8 @@ def li(
         # =========== NEE SEGMENT COMPLETE (pc == NEE) ===========
         esc_s = (c.seg_escaped | shadow_dead) & (c.pc == PC_NEE)
         T_ray_f = jnp.where((esc_s & ~shadow_dead)[:, None], T_ray * f_res, T_ray)
-        r_l_sf = jnp.where((esc_s & ~shadow_dead)[:, None], r_l_s * f_res, r_l_s)
-        r_u_sf = jnp.where((esc_s & ~shadow_dead)[:, None], r_u_s * f_res, r_u_s)
+        r_l_sf = jnp.where((esc_s & ~shadow_dead)[:, None], r_l_s * f_res_d, r_l_s)
+        r_u_sf = jnp.where((esc_s & ~shadow_dead)[:, None], r_u_s * f_res_d, r_u_s)
         # contribution (volpath_custom.cpp:723-727): r_p = path r_u
         r_l_nee = r_l_sf * c.r_u * c.ls_pdf[:, None]
         r_u_nee = r_u_sf * c.r_u * c.spdf_d[:, None]
@@ -808,7 +855,7 @@ def li(
         pc = pc.astype(jnp.int32)
 
         # =========== null continuation: fresh tau target in place ===========
-        st0 = sg(c.s_t[:, 0])
+        st0 = st_smp[:, 0]
         rng, u_n = pcg_uniform_masked(rng, is_null & ~dead_null)
         u_n = jnp.minimum(u_n, ONE_MINUS_EPSILON)
         dl_new = jnp.where(st0 > 0,

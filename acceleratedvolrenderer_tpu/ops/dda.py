@@ -124,6 +124,16 @@ class MediumArrays(NamedTuple):
     sigma_a_rgb: object = None
     sigma_s_rgb: object = None
     Le_rgb: object = None
+    # optional per-voxel emission scale grid (nz, ny, nx) for scalar-grid
+    # media — GridMedium's temperature/LeScale analogue (media.h:300-316);
+    # multiplies the per-ray Le spectrum at each collision
+    Le_grid: object = None
+    # optional FROZEN sampling-side sigma spectra ((1|N, LANES)) — the
+    # spectrum analogue of density_s: event decisions/pdfs stay at these
+    # values while the live sigma_a/sigma_s carry gradients (detached
+    # estimator for spectrum-coefficient derivatives)
+    sigma_a_s: object = None
+    sigma_s_s: object = None
 
 
 def world_to_medium(w2m, p):

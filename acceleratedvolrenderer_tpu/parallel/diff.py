@@ -9,9 +9,16 @@ counter-based, finite differences of the *estimator itself* (same seeds,
 same majorant) agree with AD to float precision, which is the testable
 contract.
 
-The grid-parameter gradient is produced by XLA as a scatter-add over the
-trilerp taps of every collision; under the sharded renderer it psums over
-the mesh like any replicated-parameter gradient.
+Parameter families (DIFF_PARAMS, all FD-gated in tests/test_diff.py):
+  density  — extinction-density voxel grid (scatter-add over trilerp taps)
+  sigma_a  — absorption-spectrum coefficient
+  sigma_s  — scattering-spectrum coefficient
+  Le_grid  — per-voxel emission scale (GridMedium LeScale/temperature
+             analogue, media.h:300-316)
+
+Under the sharded renderer the replicated-parameter gradients psum over
+the mesh (`make_sharded_loss`) exactly like any data-parallel model —
+tested against the single-device gradient on the virtual CPU mesh.
 """
 from __future__ import annotations
 
@@ -26,23 +33,18 @@ from ..models.integrators import volpath_fused
 from ..ops import dda
 from ..utils import spectrum as sp
 
+#: differentiable parameter families (BASELINE contract: d(pixel)/d each)
+DIFF_PARAMS = ("density", "sigma_a", "sigma_s", "Le_grid")
 
-def make_diff_renderer(scene, *, fixed_steps: int = 256, spp: int = 4,
-                       majorant_inflation: float = 1.5):
-    """Returns (render_L(density) -> (N, LANES) radiance, aux) where the
-    majorant is frozen at `majorant_inflation` x the build-time density max
-    so it stays an upper bound under optimization perturbations (the
-    reference's majorant is also conservative-by-construction,
-    media.cpp:240-246)."""
-    cam = scene.camera
-    H, W = cam.height, cam.width
+
+def _diff_setup(scene, majorant_inflation):
     med_spec = scene.medium
     assert med_spec is not None and not med_spec.homogeneous, (
         "differentiable path optimizes a density grid"
     )
-    maj_res = med_spec.maj_res()
     from ..ops import grid as gridops
 
+    maj_res = med_spec.maj_res()
     majorant_const = jnp.asarray(
         gridops.build_majorant_grid(np.asarray(med_spec.density), maj_res)
         * majorant_inflation
@@ -50,13 +52,20 @@ def make_diff_renderer(scene, *, fixed_steps: int = 256, spp: int = 4,
     # frozen sampling-side density: decisions/pdfs stay at the build-time
     # field, making the sample distribution parameter-independent
     density_s_const = jnp.asarray(med_spec.density, jnp.float32)
+    return med_spec, maj_res, majorant_const, density_s_const
 
-    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    pix = jnp.asarray(np.stack([xs.reshape(-1), ys.reshape(-1)], -1), jnp.int32)
-    pixidx = jnp.arange(H * W, dtype=jnp.uint32)
 
-    def render_L(density, sample_idx):
-        N = H * W
+def _make_render_L(scene, fixed_steps, majorant_inflation):
+    """Shared differentiable per-ray radiance body.
+
+    Returns render_L(params, sample_idx, pix, pixidx) -> (L, swl) plus the
+    frozen density (the default when params omits 'density')."""
+    cam = scene.camera
+    med_spec, maj_res, majorant_const, density_s_const = _diff_setup(
+        scene, majorant_inflation)
+
+    def render_L(params, sample_idx, pix, pixidx):
+        N = pix.shape[0]
         rng = dda.seed_stream(pixidx, jnp.full((N,), sample_idx, jnp.uint32),
                               salt=scene.seed)
         rng, ua = dda.pcg_uniform(rng)
@@ -65,15 +74,24 @@ def make_diff_renderer(scene, *, fixed_steps: int = 256, spp: int = 4,
         rng, ul = dda.pcg_uniform(rng)
         swl = sp.sample_wavelengths_visible(ul)
         o, d = cam.generate_rays(pix, off, None)
-        sa = med_spec.sigma_a_spec(swl.lam) * med_spec.scale
-        ss = med_spec.sigma_s_spec(swl.lam) * med_spec.scale
+        ca = params.get("sigma_a", jnp.float32(1.0))
+        cs = params.get("sigma_s", jnp.float32(1.0))
+        sa0 = med_spec.sigma_a_spec(swl.lam) * med_spec.scale
+        ss0 = med_spec.sigma_s_spec(swl.lam) * med_spec.scale
         Le = (med_spec.Le_spec(swl.lam) * med_spec.Le_scale
               if med_spec.Le_spec is not None else jnp.zeros_like(swl.lam))
+        density = params.get("density", density_s_const)
         med = dda.MediumArrays(
             density=density, majorant=majorant_const,
             w2m=jnp.asarray(med_spec.world_to_unit(), jnp.float32),
-            g=jnp.float32(med_spec.g), sigma_a=sa, sigma_s=ss, Le=Le,
+            g=jnp.float32(med_spec.g), sigma_a=sa0 * ca, sigma_s=ss0 * cs,
+            Le=Le,
             density_s=density_s_const,
+            Le_grid=params.get("Le_grid", None),
+            # sampling side frozen at the base spectra: sample paths are
+            # coefficient-independent, so FD of the estimator == AD
+            sigma_a_s=jax.lax.stop_gradient(sa0),
+            sigma_s_s=jax.lax.stop_gradient(ss0),
         )
         res = volpath_fused.li(
             med, scene.lights, o, d, swl.lam, rng,
@@ -83,16 +101,107 @@ def make_diff_renderer(scene, *, fixed_steps: int = 256, spp: int = 4,
         )
         return res.L, swl
 
+    return render_L, density_s_const
+
+
+def make_diff_renderer_multi(scene, *, fixed_steps: int = 256, spp: int = 4,
+                             majorant_inflation: float = 1.5):
+    """Multi-parameter differentiable renderer.
+
+    Returns (loss_fn, grad_fn) over a params dict with keys from
+    DIFF_PARAMS (any subset; missing entries use scene values and get no
+    gradient).  Loss = mean pixel luminance over `spp` deterministic
+    samples.  The majorant is frozen at `majorant_inflation` x the
+    build-time density max so it stays an upper bound under optimization
+    perturbations (the reference's majorant is conservative-by-
+    construction, media.cpp:240-246); sigma coefficients must stay within
+    the same headroom.
+    """
+    H, W = scene.camera.height, scene.camera.width
+    render_L, _ = _make_render_L(scene, fixed_steps, majorant_inflation)
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    pix = jnp.asarray(np.stack([xs.reshape(-1), ys.reshape(-1)], -1),
+                      jnp.int32)
+    pixidx = jnp.arange(H * W, dtype=jnp.uint32)
+
     @jax.jit
-    def loss_fn(density):
+    def loss_fn(params):
         total = 0.0
         for s in range(spp):
-            L, swl = render_L(density, jnp.uint32(s))
+            L, swl = render_L(params, jnp.uint32(s), pix, pixidx)
             y = sp.y_luminance(L, swl)
             total = total + jnp.sum(y)
         return total / (spp * H * W)
 
     return loss_fn, jax.jit(jax.grad(loss_fn))
+
+
+def make_sharded_loss(scene, mesh, *, fixed_steps: int = 256, spp: int = 2,
+                      majorant_inflation: float = 1.5,
+                      axis_name: str = "rays"):
+    """Data-parallel version of the multi-param loss: pixels shard over the
+    mesh, parameters are replicated, and the scalar loss psums over ICI —
+    so jax.grad of it all-reduces the parameter gradients exactly like a
+    replicated-model training step.  Must be bit-compatible with
+    make_diff_renderer_multi's loss (RNG streams key on the global pixel
+    index, which sharding does not change)."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:          # older jax
+        from jax.experimental.shard_map import shard_map
+
+    H, W = scene.camera.height, scene.camera.width
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert (H * W) % n_dev == 0, (
+        f"film {W}x{H} must divide evenly over {n_dev} devices")
+    render_L, _ = _make_render_L(scene, fixed_steps, majorant_inflation)
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    pix = jnp.asarray(np.stack([xs.reshape(-1), ys.reshape(-1)], -1),
+                      jnp.int32)
+    pixidx = jnp.arange(H * W, dtype=jnp.uint32)
+
+    def local_loss(params, pix_l, pixidx_l):
+        total = 0.0
+        for s in range(spp):
+            L, swl = render_L(params, jnp.uint32(s), pix_l, pixidx_l)
+            y = sp.y_luminance(L, swl)
+            total = total + jnp.sum(y)
+        return jax.lax.psum(total, axis_name) / (spp * H * W)
+
+    try:
+        sharded = shard_map(
+            local_loss, mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name)),
+            out_specs=P(), check_vma=False)
+    except TypeError:            # older jax spells it check_rep
+        sharded = shard_map(
+            local_loss, mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name)),
+            out_specs=P(), check_rep=False)
+
+    @jax.jit
+    def loss_fn(params):
+        return sharded(params, pix, pixidx)
+
+    return loss_fn, jax.jit(jax.grad(loss_fn))
+
+
+def make_diff_renderer(scene, *, fixed_steps: int = 256, spp: int = 4,
+                       majorant_inflation: float = 1.5):
+    """Density-only convenience wrapper (round-1 API): returns
+    (loss_fn(density), grad_fn(density))."""
+    loss_multi, grad_multi = make_diff_renderer_multi(
+        scene, fixed_steps=fixed_steps, spp=spp,
+        majorant_inflation=majorant_inflation)
+
+    def loss_fn(density):
+        return loss_multi({"density": density})
+
+    def grad_fn(density):
+        return grad_multi({"density": density})["density"]
+
+    return loss_fn, grad_fn
 
 
 def image_and_density_grad(scene, density=None, **kw):

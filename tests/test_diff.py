@@ -160,3 +160,79 @@ def test_g_gradient_nonzero():
     fd = (float(loss(g0 + eps)) - float(loss(g0 - eps))) / (2 * eps)
     assert abs(ad) > 1e-5
     assert abs(fd - ad) <= 5e-2 * max(abs(fd), abs(ad)), (fd, ad)
+
+
+def test_multi_param_grads_match_fd():
+    """BASELINE contract: d(pixel)/d(sigma_a), d/d(sigma_s) spectrum
+    coefficients and d/d(Le_grid) emission voxels all FD-match (VERDICT r1
+    #4 gradient completeness)."""
+    scene = small_scene(sigma_a=0.6, sigma_s=0.9, le=1.5)
+    loss_fn, grad_fn = diff_mod.make_diff_renderer_multi(
+        scene, fixed_steps=96, spp=2)
+    le_grid = jnp.asarray(
+        0.5 + np.random.default_rng(1).random((4, 4, 4)), jnp.float32)
+    params = {
+        "density": jnp.asarray(scene.medium.density),
+        "sigma_a": jnp.float32(1.0),
+        "sigma_s": jnp.float32(1.0),
+        "Le_grid": le_grid,
+    }
+    g = grad_fn(params)
+    # every family produces a live, finite gradient
+    for k in ("density", "sigma_a", "sigma_s", "Le_grid"):
+        arr = np.asarray(g[k])
+        assert np.isfinite(arr).all(), k
+        assert np.abs(arr).max() > 0, f"{k} gradient identically zero"
+
+    def fd_scalar(key, eps):
+        p1 = dict(params); p1[key] = params[key] + eps
+        p2 = dict(params); p2[key] = params[key] - eps
+        return (float(loss_fn(p1)) - float(loss_fn(p2))) / (2 * eps)
+
+    for key, eps in (("sigma_a", 1e-3), ("sigma_s", 1e-3)):
+        fd = fd_scalar(key, eps)
+        ad = float(g[key])
+        assert abs(fd - ad) <= 5e-3 * max(abs(fd), abs(ad), 1e-3), (
+            key, fd, ad)
+
+    # Le_grid voxel FD at the largest-gradient voxel
+    gl = np.asarray(g["Le_grid"])
+    iz, iy, ix = np.unravel_index(int(np.argmax(np.abs(gl))), gl.shape)
+    eps = 2e-3
+    e = np.zeros(gl.shape, np.float32); e[iz, iy, ix] = eps
+    p1 = dict(params); p1["Le_grid"] = le_grid + jnp.asarray(e)
+    p2 = dict(params); p2["Le_grid"] = le_grid - jnp.asarray(e)
+    fd = (float(loss_fn(p1)) - float(loss_fn(p2))) / (2 * eps)
+    ad = gl[iz, iy, ix]
+    # emission is linear in Le_grid => FD is exact up to float noise
+    assert abs(fd - ad) <= 5e-3 * max(abs(fd), abs(ad), 1e-4), (fd, ad)
+
+
+def test_sharded_grad_matches_single_device():
+    """Replicated-parameter gradient psums over the virtual CPU mesh and
+    equals the single-device gradient (VERDICT r1 #4 sharded case)."""
+    import jax as _jax
+    from jax.sharding import Mesh
+
+    scene = small_scene()
+    # 8x8 film divides evenly over the 8-device mesh
+    scene.camera = PerspectiveCamera(
+        c2w=vm.look_at((0.5, 0.5, -2.5), (0.5, 0.5, 0.5), (0, 1, 0)),
+        fov_deg=30.0, width=8, height=8)
+    params = {
+        "density": jnp.asarray(scene.medium.density),
+        "sigma_a": jnp.float32(1.0),
+    }
+    loss1, grad1 = diff_mod.make_diff_renderer_multi(
+        scene, fixed_steps=96, spp=2)
+    mesh = Mesh(np.array(_jax.devices()[:8]), ("rays",))
+    loss8, grad8 = diff_mod.make_sharded_loss(
+        scene, mesh, fixed_steps=96, spp=2)
+    np.testing.assert_allclose(float(loss8(params)), float(loss1(params)),
+                               rtol=1e-5)
+    g1, g8 = grad1(params), grad8(params)
+    np.testing.assert_allclose(np.asarray(g8["density"]),
+                               np.asarray(g1["density"]),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(float(g8["sigma_a"]), float(g1["sigma_a"]),
+                               rtol=1e-4)
