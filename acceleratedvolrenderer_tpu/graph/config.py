@@ -15,17 +15,26 @@ from typing import Optional
 
 @dataclass
 class EdgeReinforcementConfig:
-    # re-trace vertices whose edge count is below this until the unsatisfied
-    # ratio falls under threshold (free_graph_builder.cpp:281-471)
-    min_edges: int = 4
-    unsatisfied_ratio: float = 0.1
-    max_rounds: int = 4
+    # re-trace vertices whose distinct out-edge count is below min_edges
+    # until the unsatisfied ratio (vs the INITIAL vertex count) falls under
+    # threshold (free_graph_builder.cpp:281-471; schema util.h:707-716)
+    active: bool = True
+    min_edges: int = 4                 # edgesForNotSparse
+    unsatisfied_ratio: float = 0.1     # unsatisfiedAllowedRatio
+    reinforcement_rays: int = 16       # reinforcementRays per sparse vertex
+    max_rounds: int = 4                # safety cap (reference loops forever)
 
 
 @dataclass
 class NeighbourReinforcementConfig:
-    min_neighbours: int = 4
+    # re-trace vertices with fewer than min_neighbours graph vertices
+    # within node_radius * range_modifier (free_graph_builder.cpp:287,
+    # squaredNeighbourSearchRadius; schema util.h:718-721)
+    active: bool = True
+    min_neighbours: int = 4            # neighboursForNotSparse
     unsatisfied_ratio: float = 0.1
+    reinforcement_rays: int = 16
+    range_modifier: float = 2.0        # neighbourRangeModifier
     max_rounds: int = 4
 
 
@@ -83,6 +92,30 @@ class GraphConfig:
         sr = d.get("searchRange", {})
         if "neighboursToUse" in sr:
             cfg.builder.search_range.neighbours_to_use = int(sr["neighboursToUse"])
+        # reinforcement blocks use the reference's field names (util.h:754+)
+        er = b.get("edgeReinforcement", {})
+        for k_json, k_attr in [
+            ("active", "active"),
+            ("unsatisfiedAllowedRatio", "unsatisfied_ratio"),
+            ("reinforcementRays", "reinforcement_rays"),
+            ("edgesForNotSparse", "min_edges"),
+        ]:
+            if k_json in er:
+                cur = getattr(cfg.builder.edge_reinforcement, k_attr)
+                setattr(cfg.builder.edge_reinforcement, k_attr,
+                        type(cur)(er[k_json]))
+        nr = b.get("neighbourReinforcement", {})
+        for k_json, k_attr in [
+            ("active", "active"),
+            ("unsatisfiedAllowedRatio", "unsatisfied_ratio"),
+            ("reinforcementRays", "reinforcement_rays"),
+            ("neighboursForNotSparse", "min_neighbours"),
+            ("neighbourRangeModifier", "range_modifier"),
+        ]:
+            if k_json in nr:
+                cur = getattr(cfg.builder.neighbour_reinforcement, k_attr)
+                setattr(cfg.builder.neighbour_reinforcement, k_attr,
+                        type(cur)(nr[k_json]))
         return cfg
 
     def to_json(self, path: str):
@@ -94,6 +127,26 @@ class GraphConfig:
                         "iterationsPerStep": self.builder.iterations_per_step,
                         "radiusModifier": self.builder.radius_modifier,
                         "maxDepth": self.builder.max_depth,
+                        "edgeReinforcement": {
+                            "active": self.builder.edge_reinforcement.active,
+                            "unsatisfiedAllowedRatio":
+                                self.builder.edge_reinforcement.unsatisfied_ratio,
+                            "reinforcementRays":
+                                self.builder.edge_reinforcement.reinforcement_rays,
+                            "edgesForNotSparse":
+                                self.builder.edge_reinforcement.min_edges,
+                        },
+                        "neighbourReinforcement": {
+                            "active": self.builder.neighbour_reinforcement.active,
+                            "unsatisfiedAllowedRatio":
+                                self.builder.neighbour_reinforcement.unsatisfied_ratio,
+                            "reinforcementRays":
+                                self.builder.neighbour_reinforcement.reinforcement_rays,
+                            "neighboursForNotSparse":
+                                self.builder.neighbour_reinforcement.min_neighbours,
+                            "neighbourRangeModifier":
+                                self.builder.neighbour_reinforcement.range_modifier,
+                        },
                     },
                     "lighting": {
                         "lightRays": self.lighting.light_rays,
