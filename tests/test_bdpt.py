@@ -78,3 +78,35 @@ def test_write_strategy_films(tmp_path):
     u = os.listdir(tmp_path / "no_weights_L")
     assert any(f.startswith("bdpt_d02_s01_t02") for f in w)
     assert len(w) == len(u) and len(w) > 0
+
+
+def test_bdpt_t1_splats_present_and_bounded():
+    """t = 1 light-tracing strategy: splat images exist, are finite and
+    nonzero, and the weighted splat never exceeds the unweighted
+    (MIS weight <= 1)."""
+    scene = make_scene(ss=0.8, depth=3, spp=8)
+    img, _, strat = bdpt.render_bdpt(scene, max_depth=3, spp=8)
+    t1_keys = [k for k in strat if k[0] != "w" and k[1] == 1]
+    assert (2, 1) in t1_keys, sorted(strat.keys())
+    for k in t1_keys:
+        u, w = strat[k], strat[("w",) + k]
+        assert np.isfinite(u).all() and np.isfinite(w).all()
+        assert np.all(w <= u + 1e-5)
+    assert strat[(2, 1)].max() > 0.0
+    assert np.isfinite(img).all()
+
+
+def test_bdpt_weighted_total_matches_volpath_dense():
+    """With t=1 in the MIS competition, the weighted-strategy total must
+    still agree with the forward VolPath render on a denser medium (the
+    strategies overlap heavily there, so double counting or wrong weights
+    shows up as a mean shift)."""
+    from acceleratedvolrenderer_tpu.parallel import render as render_mod
+
+    scene = make_scene(ss=1.2, depth=3, spp=96)
+    img_b, _, _ = bdpt.render_bdpt(scene, max_depth=3, spp=96,
+                                   keep_strategies=False)
+    img_f, _ = render_mod.render(scene)
+    cb, cf = lum(img_b).mean(), lum(img_f).mean()
+    assert cb > 0 and cf > 0
+    assert abs(cb - cf) / cf < 0.12, (cb, cf)

@@ -28,6 +28,8 @@ from acceleratedvolrenderer_tpu.scene import Scene
 from acceleratedvolrenderer_tpu.utils import spectrum as sp
 from acceleratedvolrenderer_tpu.utils import vecmath as vm
 
+pytestmark = pytest.mark.slow  # 420s+ on the 2-core host (furnace gates at high spp)
+
 
 def flat(c):
     return sp.constant_spectrum(c)
