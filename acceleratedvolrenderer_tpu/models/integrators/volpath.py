@@ -45,11 +45,18 @@ def li(
     max_depth: int = 5,
     scene_radius: float = 1e4,
     max_march_steps: int = 100000,
+    uniform_source=None,
 ) -> LiResult:
     """Estimate radiance along camera rays (o, d) at wavelengths lam.
 
     All of (o, d): (N, 3); lam: (N, LANES); rng: (N,) pcg states.
-    """
+
+    `uniform_source` (path.VectorSource) optionally supplies the
+    STRUCTURAL per-bounce draws (NEE light pick + 2D, phase 2D) from an
+    explicit primary-sample vector — the volumetric PSS-MLT hook (the
+    free-flight distance draws stay on the counter rng stream, which MLT
+    carries as a mutated seed).  With a source the bounce loop unrolls to
+    max_depth+1 python iterations (fixed dims)."""
     N = o.shape[0]
     LANES = lam.shape[-1]
     f32 = jnp.float32
@@ -124,9 +131,14 @@ def li(
         # --- stage 2: NEE (SampleLd, volpath_custom.cpp:611-728) --------------
         # draws commit per-ray only where consumed => streams are independent
         # of batch composition / sharding
-        rng, u1 = dda.pcg_uniform_masked(rng, sc)
-        rng, u2a = dda.pcg_uniform_masked(rng, sc)
-        rng, u2b = dda.pcg_uniform_masked(rng, sc)
+        if uniform_source is not None:
+            u1 = uniform_source.next()
+            u2a = uniform_source.next()
+            u2b = uniform_source.next()
+        else:
+            rng, u1 = dda.pcg_uniform_masked(rng, sc)
+            rng, u2a = dda.pcg_uniform_masked(rng, sc)
+            rng, u2b = dda.pcg_uniform_masked(rng, sc)
         ls, is_delta = lights_mod.sample_one_light(
             lights, p, u1, jnp.stack([u2a, u2b], -1), lam
         )
@@ -148,8 +160,12 @@ def li(
         L = L + jnp.where((nee_ok & (denom_nee > 0))[:, None], nee, 0.0)
 
         # --- stage 3: phase function direction sample -------------------------
-        rng, u3a = dda.pcg_uniform_masked(rng, sc)
-        rng, u3b = dda.pcg_uniform_masked(rng, sc)
+        if uniform_source is not None:
+            u3a = uniform_source.next()
+            u3b = uniform_source.next()
+        else:
+            rng, u3a = dda.pcg_uniform_masked(rng, sc)
+            rng, u3b = dda.pcg_uniform_masked(rng, sc)
         wi, ps_pdf = phase_ops.sample_hg(wo, jnp.stack([u3a, u3b], -1), g)
         ps_ok = ps_pdf > 0
         # beta *= p/pdf == 1 for HG; r_l = r_u / ps_pdf (volpath_custom.cpp:383)
@@ -163,5 +179,13 @@ def li(
             depth=depth, active=active, rng=rng, bounce=c.bounce + 1,
         )
 
-    end = jax.lax.while_loop(cond, body, carry0)
+    if uniform_source is None:
+        end = jax.lax.while_loop(cond, body, carry0)
+    else:
+        # fixed unroll: VectorSource advances a python-side cursor, so the
+        # bounce loop must be unrolled (every lane fully masked already)
+        c = carry0
+        for _ in range(max_depth + 1):
+            c = body(c)
+        end = c
     return LiResult(L=end.L, rng=end.rng)
