@@ -108,6 +108,9 @@ class _Regs(NamedTuple):
     n_surf: jnp.ndarray      # (N, 3)
     mat_id: jnp.ndarray      # (N,) int32 index into the opaque prim list
     at_surface: jnp.ndarray  # (N,) bool — NEE/resume context is a surface
+    spec_last: jnp.ndarray   # (N,) bool — last bounce was a specular lobe
+    #   (pbrt's specularBounce flag: the next emitter/escape hit skips the
+    #   light-sampling MIS term, cpu/integrators.cpp:417-448)
     # DDA registers for the active segment
     voxel: jnp.ndarray
     next_t: jnp.ndarray
@@ -196,6 +199,48 @@ def li(
         emissive_mask = jnp.asarray([p.material.emissive for p in opaque])
         if regen is None:
             _mat_const = eval_materials(lam)
+
+        # ---- specular surface support (smooth conductor / dielectric /
+        # thin dielectric — reference surface branch cpu/integrators.cpp:
+        # 417-592 via BSDF Sample_f specular cases).  Rough variants and
+        # other kinds keep the Lambertian-albedo approximation.
+        def _is_smooth(m):
+            r = getattr(m, "roughness", 0.0)
+            return isinstance(r, (int, float)) and float(r) == 0.0
+
+        _k_cond = materials_mod.KIND_CONDUCTOR
+        _k_diel = materials_mod.KIND_DIELECTRIC
+        _k_thin = materials_mod.KIND_THIN_DIELECTRIC
+        spec_list = [p.material.kind in (_k_cond, _k_diel, _k_thin)
+                     and _is_smooth(p.material) for p in opaque]
+        has_spec = any(spec_list)
+        if has_spec:
+            assert regen is None, (
+                "specular surfaces are supported in the wave path (regen "
+                "scenes route through make_wave_renderer)")
+            _cond_py = [s and p.material.kind == _k_cond
+                        for s, p in zip(spec_list, opaque)]
+            _thin_py = [s and p.material.kind == _k_thin
+                        for s, p in zip(spec_list, opaque)]
+            spec_mask_arr = jnp.asarray(spec_list)
+            cond_mask_arr = jnp.asarray(_cond_py)
+            thin_mask_arr = jnp.asarray(_thin_py)
+            diel_eta_arr = jnp.asarray(
+                [float(getattr(p.material, "eta", 1.5))
+                 if p.material.kind in (_k_diel, _k_thin)
+                 and isinstance(getattr(p.material, "eta", 1.5), (int, float))
+                 else 1.5 for p in opaque], jnp.float32)
+            # conductor complex IOR spectra at the (constant) wave lam
+            _cond_eta = jnp.stack(
+                [p.material.eta_spectrum(lam) * jnp.ones((N, LANES))
+                 if c else jnp.ones((N, LANES))
+                 for c, p in zip(_cond_py, opaque)])
+            _cond_k = jnp.stack(
+                [p.material.k_spectrum(lam) * jnp.ones((N, LANES))
+                 if c else jnp.zeros((N, LANES))
+                 for c, p in zip(_cond_py, opaque)])
+    else:
+        has_spec = False
 
     def spectra_for(lam_cur):
         """Per-lane medium spectra — evaluated at spawn time."""
@@ -356,6 +401,7 @@ def li(
         n_surf=jnp.zeros((N, 3), f32),
         mat_id=jnp.full((N,), -1, jnp.int32),
         at_surface=jnp.zeros((N,), bool),
+        spec_last=jnp.zeros((N,), bool),
         voxel=jnp.zeros((N, 3), jnp.int32),
         next_t=jnp.zeros((N, 3), f32),
         dt=jnp.zeros((N, 3), f32),
@@ -679,9 +725,11 @@ def li(
             hit_surf = jnp.zeros((N,), bool)
             to_sky = esc_m
 
-        # sky: infinite lights with MIS (volpath escape branch)
+        # sky: infinite lights with MIS (volpath escape branch); specular
+        # bounces carry no light-sampling pdf => full weight (pbrt's
+        # specularBounce case)
         Le_inf, pdf_inf = lights_mod.escaped_radiance(lights, c.d_main, c.lam)
-        first = c.depth == 0
+        first = (c.depth == 0) | c.spec_last
         denom_first = jnp.mean(r_u, axis=-1)
         denom_mis = jnp.mean(r_u + r_l * pdf_inf[:, None], axis=-1)
         denom = sg(jnp.where(first, denom_first, denom_mis))
@@ -707,15 +755,25 @@ def li(
             hit_emit = hit_surf & is_emissive & front
             contrib_le = beta * Le_mat / jnp.maximum(denom_first, 1e-30)[:, None]
             L_acc = L_acc + jnp.where(hit_emit[:, None], contrib_le, 0.0)
-            # diffuse bounce (depth-capped like scatters)
-            hit_diff = hit_surf & ~is_emissive
-            over_s = hit_diff & (c.depth >= max_depth)
+            # bounce classification (depth-capped like scatters):
+            # diffuse-like -> NEE + cosine bounce; smooth specular ->
+            # immediate mirror/refract bounce, no NEE (delta lobes)
+            if has_spec:
+                spec_hit = spec_mask_arr[mid]
+                hit_diff = hit_surf & ~is_emissive & ~spec_hit
+                hit_spec = hit_surf & ~is_emissive & spec_hit
+            else:
+                hit_diff = hit_surf & ~is_emissive
+                hit_spec = jnp.zeros((N,), bool)
+            over_s = (hit_diff | hit_spec) & (c.depth >= max_depth)
             do_surf = hit_diff & ~over_s
-            depth = depth + jnp.where(do_surf, 1, 0)
+            do_spec = hit_spec & ~over_s
+            depth = depth + jnp.where(do_surf | do_spec, 1, 0)
         else:
             hit_emit = jnp.zeros((N,), bool)
             over_s = jnp.zeros((N,), bool)
             do_surf = jnp.zeros((N,), bool)
+            do_spec = jnp.zeros((N,), bool)
 
         # =========== NEE SETUP (volume scatter or surface bounce) ===========
         p_scat = c.so + c.t_cur[:, None] * c.sd
@@ -785,8 +843,9 @@ def li(
                        / jnp.maximum(denom_nee, 1e-30)[:, None])
         L_acc = L_acc + jnp.where((esc_s & (denom_nee > 0))[:, None], contrib_nee, 0.0)
 
-        # =========== RESUME (NEE done, or vertex that skipped NEE) ===========
-        resume = esc_s | skip_nee
+        # =========== RESUME (NEE done, vertex that skipped NEE, or a
+        # specular surface hit bouncing immediately) ===========
+        resume = esc_s | skip_nee | do_spec
         res_surf = resume & c.at_surface if has_surf else jnp.zeros((N,), bool)
         if has_surf:
             # skip_nee surface rays haven't set at_surface yet
@@ -817,6 +876,47 @@ def li(
                                p_theta[:, None] / jnp.maximum(ps_pdf, 1e-30)[:, None])
         else:
             f_over = p_theta[:, None] / jnp.maximum(ps_pdf, 1e-30)[:, None]
+
+        if has_spec:
+            # ---- smooth specular lobes (BSDF Sample_f delta cases,
+            # bxdfs.h ConductorBxDF / DielectricBxDF / ThinDielectricBxDF)
+            from .. import bxdfs as bxdfs_mod
+
+            is_cond_l = cond_mask_arr[mid]
+            is_thin_l = thin_mask_arr[mid]
+            eta_m = diel_eta_arr[mid]
+            cos_o = jnp.maximum(vmu.dot(wo_s, n_f), 1e-6)
+            wi_mirror = bxdfs_mod.reflect(wo_s, n_f)
+            sgn_cos = vmu.dot(wo_s, c.n_surf)     # signed vs outward normal
+            F_d = bxdfs_mod.fresnel_dielectric(sgn_cos, eta_m)
+            # thin slab: total reflectance with internal bounces
+            # (ThinDielectricBxDF: R' = 2F/(1+F))
+            F_thin = jnp.where(F_d < 1.0, 2.0 * F_d / (1.0 + F_d), 1.0)
+            F_prob = jnp.where(is_thin_l, F_thin, F_d)
+            rng, u_lobe = pcg_uniform_masked(rng, do_spec & ~is_cond_l)
+            ok_refr, wt, eta_p = bxdfs_mod.refract(wo_s, c.n_surf, eta_m)
+            refl = is_cond_l | (u_lobe < F_prob) | (~is_thin_l & ~ok_refr)
+            wt_dir = jnp.where(is_thin_l[:, None], -wo_s, wt)
+            wi_sp = jnp.where(refl[:, None], wi_mirror, wt_dir)
+            eta_c_hit = jnp.take_along_axis(
+                _cond_eta, mid[None, :, None], axis=0)[0]
+            k_c_hit = jnp.take_along_axis(
+                _cond_k, mid[None, :, None], axis=0)[0]
+            F_c = bxdfs_mod.fresnel_conductor(cos_o[:, None] *
+                                              jnp.ones((N, LANES)),
+                                              eta_c_hit, k_c_hit)
+            # lobe chosen with probability F (or 1-F): weights cancel to 1
+            # except the conductor Fresnel and the 1/eta^2 radiance scale
+            # on refraction (bxdfs.h DielectricBxDF Sample_f)
+            f_sp = jnp.where(
+                is_cond_l[:, None], F_c,
+                jnp.where((refl | is_thin_l)[:, None], 1.0,
+                          (1.0 / jnp.maximum(eta_p * eta_p, 1e-12))[:, None]))
+            p_spec_o = p_hit + c.n_surf * jnp.where(
+                refl == (sgn_cos > 0), _SURF_EPS, -_SURF_EPS)[:, None]
+            wi = jnp.where(do_spec[:, None], wi_sp, wi)
+            ps_pdf = jnp.where(do_spec, 1.0, ps_pdf)
+            f_over = jnp.where(do_spec[:, None], f_sp, f_over)
         ps_ok = ps_pdf > 0
         f_bounce = jnp.where((resume & ps_ok)[:, None], f_over, 1.0)
         beta = beta * f_bounce
@@ -837,9 +937,12 @@ def li(
             rr_kill = jnp.zeros((N,), bool)
 
         # resume origin: NEE-returning rays resume from the stored shadow
-        # origin (= the vertex); skip_nee rays from the fresh vertex
+        # origin (= the vertex); skip_nee rays from the fresh vertex;
+        # specular rays from the side-offset hit point
         if has_surf:
             p_fresh = jnp.where(do_surf[:, None], p_vertex, p_scat)
+            if has_spec:
+                p_fresh = jnp.where(do_spec[:, None], p_spec_o, p_fresh)
         else:
             p_fresh = p_scat
         p_resume = jnp.where(esc_s[:, None], c.so, p_fresh)
@@ -873,6 +976,10 @@ def li(
             d_main=d_new,
             at_surface=jnp.where(nee_valid, do_surf if has_surf else False,
                                  jnp.where(resume, False, c.at_surface)),
+            spec_last=jnp.where(
+                do_spec, True,
+                jnp.where(do_scatter | (resume & ~do_spec), False,
+                          c.spec_last)),
             L=L_acc, beta=beta, r_u=r_u, r_l=r_l_new,
             T_ray=jnp.where(nee_valid[:, None], 1.0, T_ray_f),
             r_l_s=jnp.where(nee_valid[:, None], 1.0, r_l_sf),
@@ -955,6 +1062,7 @@ def li(
             s_le=jnp.where(sel, s_le2, c.s_le),
             d_main=jnp.where(sel, d2, c.d_main),
             at_surface=jnp.where(can, False, c.at_surface),
+            spec_last=jnp.where(can, False, c.spec_last),
             L=jnp.where(sel, 0.0, c.L),
             beta=jnp.where(sel, one_s, c.beta),
             r_u=jnp.where(sel, one_s, c.r_u),

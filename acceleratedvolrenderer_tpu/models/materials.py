@@ -201,7 +201,13 @@ class SubsurfaceMaterial:
     emission_scale: float = 1.0
 
     kind = KIND_SUBSURFACE
-    reflectance = 0.5   # placeholder for the generic albedo gather
+
+    @property
+    def reflectance(self):
+        """Generic-albedo view for integrators without a BSSRDF random
+        walk (e.g. the fused volumetric surface branch): the diffusion
+        profile's total diffuse reflectance, i.e. mean(reflectance_rgb)."""
+        return float(np.mean(self.reflectance_rgb))
 
     @property
     def emissive(self) -> bool:

@@ -27,15 +27,26 @@ import jax
 import jax.numpy as jnp
 
 LANES = 128
-# majorant tables larger than this fall back to the XLA path (the row loop
-# would dominate); 32^3 = 256 rows is the tuned production size
-MAX_TABLE_ROWS = 512
+# majorant tables larger than this fall back to the XLA path; 64^3 = 2048
+# rows runs through the MXU one-hot gather (see _gather_rows_mxu) — the
+# r1 cap of 512 rows (the O(R) row-select loop) is gone
+MAX_TABLE_ROWS = 2048
+# tables at or below this row count use the VPU row-select loop (cheaper
+# than the MXU one-hot below ~32 rows, i.e. 16^3)
+_ROW_SELECT_MAX = 32
 
 _F_INF = 3.0e38
+# lane-chunk height (sublane rows) per one-hot matmul: 8 sublanes x 128
+# lanes = 1024 lanes per MXU dispatch keeps the one-hot at
+# (1024, R) bf16 <= 4 MB for R = 2048
+_MXU_CHUNK = 8
 
 
 def _gather_rows(table_ref, flat, n_rows):
-    """table[flat] via the row-select trick; flat (M, 128) int32."""
+    """table[flat] via the row-select trick; flat (M, 128) int32.
+
+    O(n_rows) VPU ops — only used for tiny tables (<= _ROW_SELECT_MAX
+    rows, e.g. the 16^3 production majorant)."""
     row = flat >> 7
     col = flat & 127
     m = flat.shape[0]
@@ -47,6 +58,45 @@ def _gather_rows(table_ref, flat, n_rows):
 
     return jax.lax.fori_loop(0, n_rows, body,
                              jnp.zeros((m, LANES), table_ref.dtype))
+
+
+def _gather_rows_mxu(table_ref, flat, n_rows):
+    """table[flat] via a one-hot MXU matmul: rowvals = onehot(row) @ table
+    selects each lane's whole 128-wide table row on the systolic array,
+    then take_along_axis picks the lane's column.  O(R) MACs per lane on
+    the MXU instead of O(R) vector ops on the VPU — the win that lifts
+    the majorant-table cap from 32^3 to 64^3.
+
+    Exactness: the one-hot is exact and the table values are pre-rounded
+    UP to bf16-representable (march_block), so the bf16 MXU pass returns
+    them bit-exactly and the majorant stays a conservative upper bound.
+    """
+    row = flat >> 7
+    col = flat & 127
+    m = flat.shape[0]
+    tab = table_ref[:].astype(jnp.bfloat16)          # (R, 128)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (_MXU_CHUNK * LANES, n_rows),
+                                     1)
+    out = jnp.zeros((m, LANES), jnp.float32)
+    n_chunks = m // _MXU_CHUNK
+
+    def body(i, acc):
+        r0 = i * _MXU_CHUNK
+        rows_c = jax.lax.dynamic_slice(row, (r0, 0), (_MXU_CHUNK, LANES))
+        cols_c = jax.lax.dynamic_slice(col, (r0, 0), (_MXU_CHUNK, LANES))
+        onehot = (rows_c.reshape(_MXU_CHUNK * LANES, 1) == riota
+                  ).astype(jnp.bfloat16)
+        # (CHUNK*128, R) @ (R, 128): each lane's full table row
+        rowvals = jnp.dot(onehot, tab, preferred_element_type=jnp.float32)
+        # lane-column select: index array constant along axis 1, so every
+        # output column holds the wanted value; take column 0
+        colsel = jnp.broadcast_to(
+            cols_c.reshape(_MXU_CHUNK * LANES, 1), rowvals.shape)
+        vals = jnp.take_along_axis(rowvals, colsel, axis=1)[:, 0]
+        return jax.lax.dynamic_update_slice(
+            acc, vals.reshape(_MXU_CHUNK, LANES), (r0, 0))
+
+    return jax.lax.fori_loop(0, n_chunks, body, out)
 
 
 def _march_kernel(maj_ref,
@@ -92,7 +142,10 @@ def _march_kernel(maj_ref,
         cy = jnp.clip(vy, 0, ry - 1)
         cz = jnp.clip(vz, 0, rz - 1)
         flat = (cz * ry + cy) * rx + cx
-        maj_k = _gather_rows(maj_ref, flat, n_rows)
+        if n_rows <= _ROW_SELECT_MAX:
+            maj_k = _gather_rows(maj_ref, flat, n_rows)
+        else:
+            maj_k = _gather_rows_mxu(maj_ref, flat, n_rows)
 
         dl_k = jnp.where(live_final & (maj_k > 0),
                          maj_k * jnp.minimum(len_k, _F_INF), 0.0)
@@ -184,10 +237,26 @@ def _march_call(static_cfg, n_rows, m, maj2d, planes_f, planes_i, hunt):
 
 
 def available(majorant_size: int, n: int) -> bool:
-    return (jax.default_backend() == "tpu"
+    if not (jax.default_backend() == "tpu"
             and majorant_size % LANES == 0
             and 0 < majorant_size <= MAX_TABLE_ROWS * LANES
-            and n % LANES == 0)
+            and n % LANES == 0):
+        return False
+    if majorant_size > _ROW_SELECT_MAX * LANES:
+        # MXU gather processes _MXU_CHUNK sublane rows per dispatch
+        return n % (LANES * _MXU_CHUNK) == 0
+    return True
+
+
+def _bf16_roundup(x):
+    """Round positive floats UP to the nearest bf16-representable value so
+    the bf16 MXU gather returns them exactly and the majorant stays a
+    conservative upper bound."""
+    b = x.astype(jnp.bfloat16)
+    lo = b.astype(jnp.float32) < x
+    bits = jax.lax.bitcast_convert_type(b, jnp.uint16)
+    up = jax.lax.bitcast_convert_type(bits + jnp.uint16(1), jnp.bfloat16)
+    return jnp.where(lo, up, b).astype(jnp.float32)
 
 
 def march_block(majorant, voxel, next_t, dt, step, t_exit, t_cur,
@@ -207,6 +276,8 @@ def march_block(majorant, voxel, next_t, dt, step, t_exit, t_cur,
     planes_i = [pi(voxel[:, 0]), pi(voxel[:, 1]), pi(voxel[:, 2]),
                 pi(step[:, 0]), pi(step[:, 1]), pi(step[:, 2])]
     maj2d = majorant.reshape(-1, LANES)
+    if maj2d.shape[0] > _ROW_SELECT_MAX:
+        maj2d = _bf16_roundup(maj2d)
     outs = _march_call((int(K), int(rx), int(ry), int(rz)),
                        maj2d.shape[0], m, maj2d, planes_f, planes_i,
                        pi(hunting))

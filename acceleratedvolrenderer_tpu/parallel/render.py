@@ -202,7 +202,8 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
                         spp: Optional[int] = None, k_substeps: int = 16,
                         stochastic_filter: bool = False,
                         retire_every: int = 1,
-                        retire_groups: int = 1):
+                        retire_groups: int = 1,
+                        record_alive: bool = False):
     """Path-regeneration renderer: ONE fused kernel renders the whole
     frame x spp workload at ~full SIMD occupancy.
 
@@ -285,7 +286,10 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
             max_march_steps=iter_cap, rgb_mode=med_spec.rgb,
             k_substeps=k_substeps, stochastic_filter=stochastic_filter,
             retire_every=retire_every, retire_groups=retire_groups,
-            prims=tuple(scene.primitives), regen=regen)
+            prims=tuple(scene.primitives), regen=regen,
+            record_alive=record_alive)
+        if record_alive:
+            return res.film_rgb, res.alive_hist
         return res.film_rgb
 
     return run, density_const, majorant_const
