@@ -60,7 +60,7 @@ class VectorSource:
         return u
 
 
-def _mat_param_row(m, lam, uv, N, mreg=None):
+def _mat_param_row(m, lam, uv, N, mreg=None, p=None, n=None):
     """Parameter dict for ONE material at the hit points (each value
     (N, ...) with a per-lane `kind`).  MixMaterial resolves per lane by
     hashing the hit parameterization against `amount` (materials.h
@@ -69,8 +69,8 @@ def _mat_param_row(m, lam, uv, N, mreg=None):
     L = lam.shape[-1]
     zeros_s = jnp.zeros((N, L))
     if isinstance(m, materials_mod.MixMaterial):
-        a = _mat_param_row(m.m1, lam, uv, N, mreg)
-        b = _mat_param_row(m.m2, lam, uv, N, mreg)
+        a = _mat_param_row(m.m1, lam, uv, N, mreg, p, n)
+        b = _mat_param_row(m.m2, lam, uv, N, mreg, p, n)
         if uv is not None:
             bits = (jnp.asarray(uv[..., 0] * 65535, jnp.uint32) * 73856093
                     ^ jnp.asarray(uv[..., 1] * 65535, jnp.uint32) * 19349663)
@@ -103,19 +103,20 @@ def _mat_param_row(m, lam, uv, N, mreg=None):
         measured_slot=jnp.full((N,), slot, jnp.int32),
         ss_albedo=ss_albedo, ss_ell=ss_ell,
         albedo=materials_mod._eval_spectral(
-            getattr(m, "reflectance", None), lam, uv),
+            getattr(m, "reflectance", None), lam, uv, p, n),
         refl=materials_mod._eval_spectral(
-            getattr(m, "reflectance", None), lam, uv),
+            getattr(m, "reflectance", None), lam, uv, p, n),
         trans=materials_mod._eval_spectral(
-            getattr(m, "transmittance", None), lam, uv),
-        eta_c=(materials_mod._eval_spectral(getattr(m, "eta", None), lam, uv)
+            getattr(m, "transmittance", None), lam, uv, p, n),
+        eta_c=(materials_mod._eval_spectral(
+            getattr(m, "eta", None), lam, uv, p, n)
                if kind == materials_mod.KIND_CONDUCTOR else zeros_s),
-        k_c=(materials_mod._eval_spectral(getattr(m, "k", None), lam, uv)
+        k_c=(materials_mod._eval_spectral(getattr(m, "k", None), lam, uv, p, n)
              if kind == materials_mod.KIND_CONDUCTOR else zeros_s),
         eta_d=(jnp.full((N,), float(ed))
                if isinstance(ed, (int, float)) else jnp.full((N,), 1.5)),
-        alpha=materials_mod._eval_float(r, uv, (N,)),
-        emission=(materials_mod._eval_spectral(m.emission, lam, uv)
+        alpha=materials_mod._eval_float(r, uv, (N,), p, n),
+        emission=(materials_mod._eval_spectral(m.emission, lam, uv, p, n)
                   * m.emission_scale if m.emissive else zeros_s),
     )
 
@@ -130,18 +131,21 @@ def _collect_measured(m, registry):
             registry[1].append(m.brdf)
 
 
-def _gather_mat_params(opaque, lam, uv, N):
+def _gather_mat_params(opaque, lam, uv, N, p=None, n=None):
     """Per-primitive material parameter stacks -> dict of (M, N, ...)
     arrays; `kind` is per-lane (M, N) so MixMaterial can resolve per hit.
-    uv is the hit parameterization per ray.  Keys starting with "_" are
+    uv is the hit parameterization per ray; p/n (hit position/normal) feed
+    context textures (DirectionMix, mapped).  Keys starting with "_" are
     static python objects (the measured-BRDF table registry), not arrays."""
     registry = ({}, [])
-    for p in opaque:
-        _collect_measured(p.material, registry)
+    for pr in opaque:
+        _collect_measured(pr.material, registry)
     mreg = registry[0]
-    rows = [_mat_param_row(p.material, lam, uv, N, mreg) for p in opaque]
+    rows = [_mat_param_row(pr.material, lam, uv, N, mreg, p, n)
+            for pr in opaque]
     out = {k: jnp.stack([r[k] for r in rows]) for k in rows[0]}
-    out["emissive"] = np.asarray([p.material.emissive for p in opaque], bool)
+    out["emissive"] = np.asarray([pr.material.emissive for pr in opaque],
+                                 bool)
     out["_measured_tables"] = tuple(registry[1])
     return out
 
@@ -315,7 +319,8 @@ def li_path(
         p_hit = o_cur + hit.t[:, None] * d_cur
         wo = -d_cur
 
-        prm_stacks = _gather_mat_params(opaque, lam, hit.uv, N)
+        prm_stacks = _gather_mat_params(opaque, lam, hit.uv, N,
+                                        p=p_hit, n=hit.n)
         kind_ids = _take(prm_stacks["kind"], mid)
         prm = {k: _take(v, mid) for k, v in prm_stacks.items()
                if k not in ("kind", "emissive") and not k.startswith("_")}
@@ -471,7 +476,8 @@ def li_random_walk(prims, lights, o, d, lam, rng, *, max_depth=5):
         mid = jnp.clip(hit.prim_id, 0, len(opaque) - 1)
         p_hit = o_cur + hit.t[:, None] * d_cur
         wo = -d_cur
-        prm_stacks = _gather_mat_params(opaque, lam, hit.uv, N)
+        prm_stacks = _gather_mat_params(opaque, lam, hit.uv, N,
+                                        p=p_hit, n=hit.n)
         emissive_mask = jnp.asarray(prm_stacks["emissive"])[mid]
         emission = _take(prm_stacks["emission"], mid)
         albedo = _take(prm_stacks["albedo"], mid)

@@ -34,18 +34,27 @@ KIND_COATED_DIFFUSE = 5
 KIND_SUBSURFACE = 6
 
 
-def _eval_spectral(value, lam, uv=None):
+def _eval_spectral(value, lam, uv=None, p=None, n=None):
     """reflectance-like parameter -> (N, LANES) spectrum.
 
     value may be: float; callable lam->spectrum; rgb texture (eval(uv)->
-    (N,3), Smits-converted); float texture ((N,) broadcast over lanes)."""
+    (N,3), Smits-converted); float texture ((N,) broadcast over lanes).
+    p/n (hit position/shading normal, (N,3)) feed context-dependent
+    textures (DirectionMix, spherical/cylindrical/planar mappings)."""
     N, L = lam.shape
     if value is None:
         return jnp.zeros((N, L), jnp.float32)
     if isinstance(value, (int, float)):
         return jnp.full((N, L), jnp.float32(value))
-    if hasattr(value, "eval") and uv is not None:
-        out = value.eval(uv)
+    if hasattr(value, "eval"):
+        from . import textures as tex_mod
+
+        if uv is None:
+            # no hit parameterization at this call site (e.g. the fused
+            # integrator's constant-parameter table): evaluate the texture
+            # at uv = 0.5 as its representative value
+            uv = jnp.full((N, 2), 0.5, jnp.float32)
+        out = tex_mod.eval_texture(value, uv, p=p, n=n)
         if out.ndim == lam.ndim and out.shape[-1] == 3:
             from ..utils import spectrum as sp
 
@@ -55,10 +64,14 @@ def _eval_spectral(value, lam, uv=None):
     return jnp.broadcast_to(jnp.asarray(value(lam), jnp.float32), (N, L))
 
 
-def _eval_float(value, uv=None, shape=None):
+def _eval_float(value, uv=None, shape=None, p=None, n=None):
     if isinstance(value, (int, float)):
         return jnp.full(shape, jnp.float32(value))
-    return jnp.broadcast_to(jnp.asarray(value.eval(uv), jnp.float32), shape)
+    from . import textures as tex_mod
+
+    return jnp.broadcast_to(
+        jnp.asarray(tex_mod.eval_texture(value, uv, p=p, n=n), jnp.float32),
+        shape)
 
 
 @dataclass(frozen=True)

@@ -223,3 +223,110 @@ def film_sample(kind: str, pixel_index, sample_index, spp: int, seed: int = 0,
         return _u01(d1), u2, rng
 
     raise ValueError(f"unknown sampler '{kind}'")
+
+
+# ---------------------------------------------------------------------------
+# Path-interior dimensions (VERDICT r1 #30): the reference stratifies EVERY
+# sampler dimension, not just the film jitter (samplers.h Get1D/Get2D advance
+# `dimension` and HaltonSampler:33 / SobolSampler:479 map it to radical-
+# inverse bases / Sobol dims).  TPU-native equivalent: a per-dimension
+# scrambled radical inverse in the first 32 prime bases — table-free (no
+# copied direction-number/permutation data), pure function of
+# (pixel, sample_index, dim), with per-(pixel, dim) digit scrambling for
+# cross-pixel decorrelation (the PaddedSobol padding construction).
+# ---------------------------------------------------------------------------
+
+_PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
+           59, 61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113,
+           127, 131)
+
+
+def _radical_inverse_scrambled(base: int, i, perm_seed):
+    """Digit-scrambled radical inverse in `base` (util/lowdiscrepancy.h
+    ScrambledRadicalInverse).  perm_seed: (N,) uint32 per-lane key; the
+    digit shift at each level comes from an evolving LCG of the key, so
+    equal-key lanes share one Halton permutation (a proper digit
+    scramble, not white noise)."""
+    if base == 2:
+        return _u01(_reverse_bits32(_owen_hash(jnp.asarray(i, jnp.uint32),
+                                               perm_seed)))
+    i = jnp.asarray(i, jnp.uint32)
+    n_digits = int(np.ceil(32.0 / np.log2(base)))
+    frac = jnp.zeros(i.shape, jnp.float32)
+    inv = 1.0 / base
+    x = i
+    s = perm_seed
+    for _ in range(n_digits):
+        digit = x % base
+        s = s * jnp.uint32(0x9E3779B9) + jnp.uint32(1)
+        shift = (s >> 16) % base
+        frac = frac + ((digit + shift) % base).astype(jnp.float32) * inv
+        inv /= base
+        x = x // base
+    return jnp.minimum(frac, np.float32(1.0 - 1e-7))
+
+
+def path_dim_sample(kind: str, pixel_index, sample_index, spp: int,
+                    dim: int, seed: int = 0):
+    """One (N,) uniform for path dimension `dim`.
+
+    kinds: 'halton'/'sobol'/'zsobol'/'paddedsobol'/'pmj02bn' — scrambled
+    radical inverse, base = dim-th prime (padded across pixels);
+    'stratified' — 1D strata over spp with hashed jitter; anything else —
+    PCG white noise keyed by (pixel, sample, dim)."""
+    pix = jnp.asarray(pixel_index, jnp.uint32)
+    i = jnp.asarray(sample_index, jnp.uint32)
+    if kind == "stratified":
+        rng = dda.seed_stream(pix, i, salt=(seed ^ (0x5D1 + 0x9E37 * dim)) & 0xFFFFFFFF)
+        rng, jit = dda.pcg_uniform(rng)
+        shift_rng = dda.seed_stream(pix, jnp.zeros_like(pix),
+                                    salt=(seed ^ (0xA51 + 0x68BC * dim)) & 0xFFFFFFFF)
+        _, shift = dda.pcg_uniform(shift_rng)
+        n = max(int(spp), 1)
+        stratum = (i + (shift * n).astype(jnp.uint32)) % n
+        return (stratum.astype(jnp.float32) + jit) / n
+    if kind in ("halton", "sobol", "zsobol", "paddedsobol", "pmj02bn"):
+        base = _PRIMES[dim % len(_PRIMES)]
+        # per-(pixel, dim) scramble key: equal within a pixel (one Halton
+        # permutation per pixel), decorrelated across pixels/dims
+        scr = dda.seed_stream(pix, jnp.zeros_like(pix),
+                              salt=(seed ^ (0x77 + 0x9E3779B9 * dim))
+                              & 0xFFFFFFFF)
+        return _radical_inverse_scrambled(base, i, scr)
+    rng = dda.seed_stream(pix, i, salt=(seed ^ (0xD1CE + 0x85EB * dim)) & 0xFFFFFFFF)
+    _, u = dda.pcg_uniform(rng)
+    return u
+
+
+class PathSampler:
+    """UniformSource over all path dimensions (plugs into the staged
+    integrators' `uniform_source` seam next to PCGSource/VectorSource).
+
+    Sequential `next()` calls consume dimensions 0, 1, 2, ... of the
+    per-(pixel, sample) low-discrepancy point; after `max_dims` (deep
+    bounces, where stratification no longer pays) it falls back to the
+    PCG stream — the same high-dims policy as the reference's Sobol
+    samplers, which wrap past their table width."""
+
+    def __init__(self, kind, pixel_index, sample_index, spp, seed=0,
+                 max_dims: int = 32, rng=None):
+        self.kind = kind
+        self.pixel_index = pixel_index
+        self.sample_index = sample_index
+        self.spp = int(spp)
+        self.seed = int(seed)
+        self.max_dims = int(max_dims)
+        self.dim = 0
+        self.rng = (rng if rng is not None else
+                    dda.seed_stream(jnp.asarray(pixel_index, jnp.uint32),
+                                    jnp.asarray(sample_index, jnp.uint32),
+                                    salt=seed + 0x51))
+
+    def next(self, mask=None):
+        if self.dim >= self.max_dims:
+            self.rng, u = dda.pcg_uniform(self.rng)
+            return u
+        u = path_dim_sample(self.kind, self.pixel_index, self.sample_index,
+                            self.spp, self.dim, self.seed)
+        self.dim += 1
+        return u

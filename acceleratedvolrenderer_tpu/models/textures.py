@@ -314,6 +314,142 @@ class DotsTexture:
         return jnp.where(inside, self.inside, self.outside)
 
 
+# ---------------------------------------------------------------------------
+# Texture-coordinate mappings (textures.h:86-248 UVMapping, SphericalMapping,
+# CylindricalMapping, PlanarMapping, PointTransformMapping).  Batched: each
+# `map(uv, p)` takes the hit parameterization (N, 2) and the render-space hit
+# position (N, 3) and returns texture coordinates (N, 2) ((N, 3) for the 3D
+# mapping).  Differentials (dsdx/dtdx) are round-3 with ray differentials.
+# ---------------------------------------------------------------------------
+
+def _xform_p(m, p):
+    """Apply a 4x4 texture-from-render transform to points (N, 3)."""
+    if m is None:
+        return p
+    m = jnp.asarray(m, jnp.float32)
+    return p @ m[:3, :3].T + m[:3, 3]
+
+
+@dataclass(frozen=True)
+class UVMapping:
+    """st = (su*u + du, sv*v + dv) (textures.h:86)."""
+    su: float = 1.0
+    sv: float = 1.0
+    du: float = 0.0
+    dv: float = 0.0
+
+    def map(self, uv, p=None):
+        return jnp.stack([uv[..., 0] * self.su + self.du,
+                          uv[..., 1] * self.sv + self.dv], -1)
+
+
+@dataclass(frozen=True)
+class SphericalMapping:
+    """(theta/pi, phi/2pi) of the texture-space hit point (textures.h:109)."""
+    texture_from_render: Optional[tuple] = None   # 4x4 row-major
+
+    def map(self, uv, p=None):
+        pt = _xform_p(self.texture_from_render, p)
+        v = pt / jnp.maximum(jnp.linalg.norm(pt, axis=-1, keepdims=True),
+                             1e-20)
+        theta = jnp.arccos(jnp.clip(v[..., 2], -1.0, 1.0))
+        phi = jnp.arctan2(v[..., 1], v[..., 0])
+        phi = jnp.where(phi < 0, phi + 2 * np.pi, phi)
+        return jnp.stack([theta / np.pi, phi / (2 * np.pi)], -1)
+
+
+@dataclass(frozen=True)
+class CylindricalMapping:
+    """((pi + atan2(y, x)) / 2pi, z) (textures.h:147)."""
+    texture_from_render: Optional[tuple] = None
+
+    def map(self, uv, p=None):
+        pt = _xform_p(self.texture_from_render, p)
+        s = (np.pi + jnp.arctan2(pt[..., 1], pt[..., 0])) / (2 * np.pi)
+        return jnp.stack([s, pt[..., 2]], -1)
+
+
+@dataclass(frozen=True)
+class PlanarMapping:
+    """st = (ds + p.vs, dt + p.vt) (textures.h:175)."""
+    vs: tuple = (1.0, 0.0, 0.0)
+    vt: tuple = (0.0, 1.0, 0.0)
+    ds: float = 0.0
+    dt: float = 0.0
+    texture_from_render: Optional[tuple] = None
+
+    def map(self, uv, p=None):
+        pt = _xform_p(self.texture_from_render, p)
+        vs = jnp.asarray(self.vs, jnp.float32)
+        vt = jnp.asarray(self.vt, jnp.float32)
+        return jnp.stack([self.ds + pt @ vs, self.dt + pt @ vt], -1)
+
+
+@dataclass(frozen=True)
+class PointTransformMapping:
+    """3D mapping: texture-space point itself (textures.h:229)."""
+    texture_from_render: Optional[tuple] = None
+
+    def map(self, uv, p=None):
+        return _xform_p(self.texture_from_render, p)
+
+
+@dataclass(frozen=True)
+class MappedTexture:
+    """Apply a TextureMapping2D before evaluating `base`.
+
+    The reference threads the mapping through each texture's constructor
+    (TextureMapping2D::Create); here it composes as a wrapper so every
+    uv-domain texture gains spherical/cylindrical/planar/scaled-uv
+    parameterizations without per-class plumbing."""
+    base: object
+    mapping: object
+
+    def eval_ctx(self, uv, p=None, n=None):
+        st = self.mapping.map(uv, p)
+        return eval_texture(self.base, st, p=p, n=n)
+
+    def eval(self, uv):
+        return self.eval_ctx(uv)
+
+
+@dataclass(frozen=True)
+class DirectionMixTexture:
+    """amt = |n . dir|; amt*tex1 + (1-amt)*tex2 (textures.h:832
+    FloatDirectionMixTexture / :891 SpectrumDirectionMixTexture)."""
+    tex1: object
+    tex2: object
+    dir: tuple = (0.0, 1.0, 0.0)
+
+    def eval_ctx(self, uv, p=None, n=None):
+        a = eval_texture(self.tex1, uv, p=p, n=n)
+        b = eval_texture(self.tex2, uv, p=p, n=n)
+        if n is None:
+            amt = jnp.full(uv.shape[:-1], jnp.float32(1.0))
+        else:
+            d = jnp.asarray(self.dir, jnp.float32)
+            d = d / jnp.maximum(jnp.linalg.norm(d), 1e-20)
+            amt = jnp.abs(n @ d)
+        if a.ndim > amt.ndim:
+            amt = amt[..., None]
+        return amt * a + (1.0 - amt) * b
+
+    def eval(self, uv):
+        return self.eval_ctx(uv)
+
+
+def eval_texture(tex, uv, p=None, n=None):
+    """Evaluate any texture with the full hit context.
+
+    Textures that use position/normal define eval_ctx(uv, p, n); plain
+    uv-domain textures define eval(uv).  This is the batched analogue of
+    pbrt's TextureEvalContext dispatch (textures.h:1140)."""
+    f = getattr(tex, "eval_ctx", None)
+    if f is not None:
+        return f(uv, p=p, n=n)
+    return tex.eval(uv)
+
+
 @dataclass(frozen=True)
 class BilerpTexture:
     """textures.h BilerpTexture: bilinear blend of four corner values."""

@@ -146,11 +146,21 @@ def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
                 from ..models.integrators import path as path_mod
 
                 if integ == "path":
+                    # low-discrepancy samplers cover the path-interior
+                    # dims too (samplers.h Get1D advancing `dimension`;
+                    # VERDICT r1 #30): dims 0.. of the per-(pixel,sample)
+                    # point feed BSDF/light draws via the source seam
+                    usrc = None
+                    if scene.sampler not in ("independent",):
+                        usrc = samplers_mod.PathSampler(
+                            scene.sampler, pixidx, sidx, scene.spp,
+                            seed=scene.seed + 0x9A7, rng=rng)
                     L, rng = path_mod.li_path(
                         tuple(scene.primitives), scene.lights, o, d, swl.lam,
                         rng, max_depth=scene.max_depth,
                         light_strategy=getattr(scene, "light_sampler", "uniform"),
-                        regularize=getattr(scene, "regularize", False))
+                        regularize=getattr(scene, "regularize", False),
+                        uniform_source=usrc)
                 elif integ == "simplepath":
                     # SimplePathIntegrator defaults: samplelights without MIS
                     L, rng = path_mod.li_path(

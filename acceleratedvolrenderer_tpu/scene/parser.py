@@ -32,6 +32,7 @@ import numpy as np
 from ..models import lights as lm
 from ..models.cameras import OrthographicCamera, PerspectiveCamera, SphericalCamera
 from ..models.film import BoxFilter, GaussianFilter, TriangleFilter
+from ..models import textures as tex_mod
 from ..models.media import MediumSpec
 from ..utils import spectrum as sp
 from ..utils import vecmath as vmu
@@ -161,6 +162,7 @@ class PbrtParser:
         self.stack: List[_GState] = []
         self.named_media: Dict[str, MediumSpec] = {}
         self.named_materials: Dict[str, object] = {}
+        self.named_textures: Dict[str, object] = {}
         self.primitives: List = []
         self.lights: List = []
         self.camera = None
@@ -305,12 +307,11 @@ class PbrtParser:
         params, p = _parse_params(t, p + 1)
         if "pixelsamples" in params:
             self.spp = int(params["pixelsamples"][1][0])
-        # map pbrt sampler names onto the three film-jitter strategies
-        self.sampler = {
-            "stratified": "stratified",
-            "sobol": "sobol", "paddedsobol": "sobol", "zsobol": "sobol",
-            "halton": "sobol", "pmj02bn": "sobol",
-        }.get(kind, "independent")
+        # every pbrt sampler name maps 1:1 (models.samplers implements the
+        # full family for film AND path-interior dims)
+        known = ("stratified", "sobol", "paddedsobol", "zsobol", "halton",
+                 "pmj02bn", "independent")
+        self.sampler = kind if kind in known else "independent"
         return p
 
     def _h_Integrator(self, t, p):
@@ -536,12 +537,28 @@ class PbrtParser:
 
         def spec(name, default):
             if name in params:
-                return _to_spectrum(*params[name])
+                ptype, vals = params[name]
+                if ptype == "texture":
+                    # "texture <param>" "name" — reference resolves named
+                    # textures in the material factory (materials.cpp)
+                    tx = self.named_textures.get(vals[0].strip('"'))
+                    if tx is not None:
+                        return tx
+                    warnings.warn(f"unknown texture '{vals[0]}' for "
+                                  f"'{name}'; using {default}")
+                    return sp.constant_spectrum(default)
+                return _to_spectrum(ptype, vals)
             return sp.constant_spectrum(default)
 
         def flt(name, default):
             if name in params:
-                return float(params[name][1][0])
+                ptype, vals = params[name]
+                if ptype == "texture":
+                    tx = self.named_textures.get(vals[0].strip('"'))
+                    if tx is not None:
+                        return tx
+                    return default
+                return float(vals[0])
             return default
 
         if kind in ("", None):
@@ -586,7 +603,10 @@ class PbrtParser:
             m1 = self.named_materials.get(names[0] if names else "", _default)
             m2 = self.named_materials.get(
                 names[1] if len(names) > 1 else "", _default)
-            return mats.MixMaterial(m1=m1, m2=m2, amount=flt("amount", 0.5))
+            amt = flt("amount", 0.5)
+            if not isinstance(amt, (int, float)):
+                amt = 0.5      # texture amount: per-lane choice round-3
+            return mats.MixMaterial(m1=m1, m2=m2, amount=amt)
         if kind != "diffuse":
             warnings.warn(f"material '{kind}' approximated as diffuse")
         return mats.DiffuseMaterial(reflectance=spec("reflectance", 0.5))
@@ -610,9 +630,137 @@ class PbrtParser:
         return p + 1
 
     def _h_Texture(self, t, p):
-        # Texture "name" "type" "class" params
-        _, p = _parse_params(t, p + 3)
+        # Texture "name" "type" "class" params  (parser.cpp Texture ->
+        # Float/SpectrumTexture::Create, textures.cpp)
+        name = t[p][1:-1]
+        cls = t[p + 2][1:-1]
+        params, p = _parse_params(t, p + 3)
+        try:
+            self.named_textures[name] = self._build_texture(cls, params)
+        except Exception as e:
+            warnings.warn(f"texture '{name}' ({cls}): {e}; using constant")
+            self.named_textures[name] = tex_mod.ConstantTexture(0.5)
         return p
+
+    def _tex_param(self, params, pname, default):
+        """Texture-or-value parameter inside a Texture statement."""
+        if pname not in params:
+            return tex_mod.ConstantTexture(default)
+        ptype, vals = params[pname]
+        if ptype == "texture":
+            return self.named_textures.get(
+                vals[0].strip('"'), tex_mod.ConstantTexture(default))
+        if ptype in ("rgb", "color", "spectrum"):
+            return tex_mod.ConstantRGBTexture(tuple(_floats(vals[:3])))
+        return tex_mod.ConstantTexture(float(vals[0]))
+
+    def _build_texture(self, cls, params):
+        """Texture factory (textures.cpp Create* subset).  Non-uv
+        parameterizations compose via MappedTexture + a TextureMapping2D
+        built from the "mapping"/uscale/vscale/udelta/vdelta/v1/v2
+        parameters and the CTM at declaration (renderFromTexture)."""
+        def flt(pname, default):
+            return (float(params[pname][1][0]) if pname in params
+                    else default)
+
+        def s(pname, default):
+            return (params[pname][1][0].strip('"') if pname in params
+                    else default)
+
+        if cls == "constant":
+            if "value" in params and params["value"][0] in ("rgb", "color"):
+                return tex_mod.ConstantRGBTexture(
+                    tuple(_floats(params["value"][1][:3])))
+            return tex_mod.ConstantTexture(flt("value", 1.0))
+        if cls == "scale":
+            return tex_mod.ScaleTexture(
+                base=self._tex_param(params, "tex", 1.0),
+                scale=flt("scale", 1.0))
+        if cls == "mix":
+            return tex_mod.MixTexture(
+                tex1=self._tex_param(params, "tex1", 0.0),
+                tex2=self._tex_param(params, "tex2", 1.0),
+                amount=flt("amount", 0.5))
+        if cls == "directionmix":
+            d = (_floats(params["dir"][1]) if "dir" in params
+                 else [0.0, 1.0, 0.0])
+            return tex_mod.DirectionMixTexture(
+                tex1=self._tex_param(params, "tex1", 0.0),
+                tex2=self._tex_param(params, "tex2", 1.0), dir=tuple(d))
+        if cls in ("imagemap", "ptex"):
+            if cls == "ptex":
+                raise ValueError("ptex textures unsupported (face-indexed "
+                                 "Ptex requires per-face uv; see README)")
+            from ..utils import image as im
+
+            fn = s("filename", "")
+            if not os.path.isabs(fn):
+                fn = os.path.join(self.base_dir, fn)
+            img, _meta = im.read_image(fn)
+            base = tex_mod.ImageTexture(
+                img, scale=flt("scale", 1.0),
+                invert=s("invert", "false") == "true")
+            return self._wrap_mapping(base, params)
+        if cls == "checkerboard":
+            base = tex_mod.CheckerboardTexture(
+                tex1=self._tex_param(params, "tex1", 1.0),
+                tex2=self._tex_param(params, "tex2", 0.0))
+            return self._wrap_mapping(base, params)
+        if cls == "fbm":
+            return tex_mod.FBmTexture(octaves=int(flt("octaves", 6)),
+                                      omega=flt("roughness", 0.5))
+        if cls == "wrinkled":
+            return tex_mod.WrinkledTexture(octaves=int(flt("octaves", 6)),
+                                           omega=flt("roughness", 0.5))
+        if cls == "windy":
+            return tex_mod.WindyTexture()
+        if cls == "marble":
+            return tex_mod.MarbleTexture(
+                scale=flt("scale", 4.0), variation=flt("variation", 0.2),
+                octaves=int(flt("octaves", 6)), omega=flt("roughness", 0.5))
+        if cls == "dots":
+            return self._wrap_mapping(tex_mod.DotsTexture(
+                inside=flt("inside", 1.0), outside=flt("outside", 0.0)),
+                params)
+        if cls == "bilerp":
+            return tex_mod.BilerpTexture(
+                v00=flt("v00", 0.0), v01=flt("v01", 1.0),
+                v10=flt("v10", 0.0), v11=flt("v11", 1.0))
+        raise ValueError(f"unknown texture class '{cls}'")
+
+    def _wrap_mapping(self, base, params):
+        """Apply the "mapping" parameter family (TextureMapping2D::Create,
+        textures.cpp:40-76)."""
+        def flt(pname, default):
+            return (float(params[pname][1][0]) if pname in params
+                    else default)
+
+        kind = (params["mapping"][1][0].strip('"') if "mapping" in params
+                else "uv")
+        tfr = tuple(map(tuple, np.linalg.inv(self.state.ctm)))
+        if kind == "uv":
+            su, sv = flt("uscale", 1.0), flt("vscale", 1.0)
+            du, dv = flt("udelta", 0.0), flt("vdelta", 0.0)
+            if (su, sv, du, dv) == (1.0, 1.0, 0.0, 0.0):
+                return base
+            return tex_mod.MappedTexture(base, tex_mod.UVMapping(
+                su=su, sv=sv, du=du, dv=dv))
+        if kind == "spherical":
+            return tex_mod.MappedTexture(
+                base, tex_mod.SphericalMapping(texture_from_render=tfr))
+        if kind == "cylindrical":
+            return tex_mod.MappedTexture(
+                base, tex_mod.CylindricalMapping(texture_from_render=tfr))
+        if kind == "planar":
+            v1 = (_floats(params["v1"][1]) if "v1" in params
+                  else [1.0, 0.0, 0.0])
+            v2 = (_floats(params["v2"][1]) if "v2" in params
+                  else [0.0, 1.0, 0.0])
+            return tex_mod.MappedTexture(base, tex_mod.PlanarMapping(
+                vs=tuple(v1), vt=tuple(v2), ds=flt("udelta", 0.0),
+                dt=flt("vdelta", 0.0), texture_from_render=tfr))
+        warnings.warn(f"unknown texture mapping '{kind}'; using uv")
+        return base
 
     def _h_Shape(self, t, p):
         kind = t[p][1:-1]
@@ -759,7 +907,7 @@ class PbrtParser:
             camera=camera, medium=medium, lights=self.lights,
             primitives=self.primitives,
             max_depth=self.max_depth, filter=self.filter, spp=self.spp,
-            sampler=self.sampler,
+            sampler=self.sampler, integrator=self.integrator,
         )
 
 

@@ -229,3 +229,84 @@ Shape "sphere" "float radius" [1]
     f.write_text(txt)
     sc = load_scene(str(f))
     assert len(sc.primitives) == 1
+
+
+def test_named_textures_and_material_reference(tmp_path):
+    """Texture statements build named textures; materials resolve
+    "texture <param>" references (parser.cpp Texture ->
+    materials.cpp factory)."""
+    import numpy as np
+
+    from acceleratedvolrenderer_tpu.models import textures as tx
+    from acceleratedvolrenderer_tpu.scene.parser import PbrtParser
+
+    txt = '''
+Camera "perspective" "float fov" [40]
+Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+WorldBegin
+Texture "half" "float" "constant" "float value" [0.5]
+Texture "chk" "spectrum" "checkerboard"
+    "texture tex1" "half" "rgb tex2" [0.9 0.1 0.1]
+    "float uscale" [4] "float vscale" [4]
+Texture "sph" "float" "fbm" "integer octaves" [4]
+Material "diffuse" "texture reflectance" "chk"
+Shape "sphere" "float radius" [1]
+'''
+    f = tmp_path / "t.pbrt"
+    f.write_text(txt)
+    ps = PbrtParser()
+    sc = ps.parse_file(str(f))
+    assert set(ps.named_textures) == {"half", "chk", "sph"}
+    mat = sc.primitives[0].material
+    refl = mat.reflectance
+    # the reflectance is the named checker (through the uv-scale mapping)
+    assert isinstance(refl, tx.MappedTexture)
+    uv = np.zeros((1, 2), np.float32)
+    v = np.asarray(tx.eval_texture(refl, uv))
+    assert v.shape[-1] == 3 or v.ndim == 1
+
+
+def test_texture_scale_mix_directionmix(tmp_path):
+    import numpy as np
+
+    from acceleratedvolrenderer_tpu.models import textures as tx
+    from acceleratedvolrenderer_tpu.scene.parser import PbrtParser
+
+    txt = '''
+WorldBegin
+Texture "a" "float" "constant" "float value" [0.25]
+Texture "b" "float" "scale" "texture tex" "a" "float scale" [2]
+Texture "c" "float" "mix" "texture tex1" "a" "texture tex2" "b"
+    "float amount" [1.0]
+Texture "d" "spectrum" "directionmix" "texture tex1" "a"
+    "texture tex2" "b" "vector dir" [0 0 1]
+'''
+    f = tmp_path / "t2.pbrt"
+    f.write_text(txt)
+    ps = PbrtParser()
+    ps.parse_file(str(f))
+    uv = np.zeros((2, 2), np.float32)
+    assert np.allclose(np.asarray(ps.named_textures["b"].eval(uv)), 0.5)
+    assert np.allclose(np.asarray(ps.named_textures["c"].eval(uv)), 0.5)
+    n = np.asarray([[0, 0, 1.0], [1.0, 0, 0]], np.float32)
+    v = np.asarray(tx.eval_texture(ps.named_textures["d"], uv, n=n))
+    assert np.allclose(v, [0.25, 0.5], atol=1e-6)
+
+
+def test_unknown_texture_class_warns(tmp_path):
+    import warnings as _w
+
+    from acceleratedvolrenderer_tpu.scene.parser import PbrtParser
+
+    txt = '''
+WorldBegin
+Texture "p" "spectrum" "ptex" "string filename" ["x.ptx"]
+'''
+    f = tmp_path / "t3.pbrt"
+    f.write_text(txt)
+    ps = PbrtParser()
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        ps.parse_file(str(f))
+    assert any("ptex" in str(r.message) for r in rec)
+    assert "p" in ps.named_textures   # constant fallback keeps scene valid
