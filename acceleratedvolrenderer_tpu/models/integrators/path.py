@@ -116,6 +116,10 @@ def _mat_param_row(m, lam, uv, N, mreg=None, p=None, n=None):
         eta_d=(jnp.full((N,), float(ed))
                if isinstance(ed, (int, float)) else jnp.full((N,), 1.5)),
         alpha=materials_mod._eval_float(r, uv, (N,), p, n),
+        ct_thick=jnp.full((N,), float(getattr(m, "thickness", 0.01))),
+        ct_g=jnp.full((N,), float(getattr(m, "g", 0.0))),
+        ct_alb=(materials_mod._eval_spectral(m.albedo_med, lam, uv, p, n)
+                if getattr(m, "albedo_med", None) is not None else zeros_s),
         emission=(materials_mod._eval_spectral(m.emission, lam, uv, p, n)
                   * m.emission_scale if m.emissive else zeros_s),
     )
@@ -147,6 +151,14 @@ def _gather_mat_params(opaque, lam, uv, N, p=None, n=None):
     out["emissive"] = np.asarray([pr.material.emissive for pr in opaque],
                                  bool)
     out["_measured_tables"] = tuple(registry[1])
+
+    def _any_stochastic(m):
+        if isinstance(m, materials_mod.MixMaterial):
+            return _any_stochastic(m.m1) or _any_stochastic(m.m2)
+        return bool(getattr(m, "stochastic", False))
+
+    out["_coated_stochastic"] = any(_any_stochastic(pr.material)
+                                    for pr in opaque)
     return out
 
 
@@ -156,7 +168,8 @@ def _take(arr, idx):
     return jnp.take_along_axis(arr, idx[None, :, None], 0)[0]
 
 
-def _bsdf_sample(kind_ids, prm, wo_l, u_lobe, u2, lam=None, measured=()):
+def _bsdf_sample(kind_ids, prm, wo_l, u_lobe, u2, lam=None, measured=(),
+                 coated_stochastic=False):
     """Masked-select BSDF sampling over the static lobe families."""
     s_dif = bxdfs.diffuse_sample(wo_l, u2, prm["albedo"])
     s_con = bxdfs.conductor_sample(wo_l, u2, prm["eta_c"], prm["k_c"],
@@ -166,8 +179,38 @@ def _bsdf_sample(kind_ids, prm, wo_l, u_lobe, u2, lam=None, measured=()):
     s_thn = bxdfs.thin_dielectric_sample(wo_l, u_lobe, prm["eta_d"])
     s_dft = bxdfs.diffuse_transmission_sample(wo_l, u_lobe, u2, prm["refl"],
                                               prm["trans"])
-    s_cod = bxdfs.coated_diffuse_sample(wo_l, u_lobe, u2, prm["albedo"],
-                                        prm["eta_d"], prm["alpha"])
+    if coated_stochastic:
+        # the reference's LayeredBxDF interface walk (bxdfs.h:656): a
+        # counter stream hashed from the primary draws keeps the walk
+        # deterministic per (pixel, sample)
+        rng_w = dda.seed_stream(
+            (u_lobe * (1 << 24)).astype(jnp.uint32),
+            (u2[..., 0] * (1 << 24)).astype(jnp.uint32),
+            salt=0xC0A7)
+        rng_w = rng_w ^ (u2[..., 1] * (1 << 24)).astype(jnp.uint32)
+        s_walk, _ = bxdfs.layered_sample(
+            wo_l, rng_w, prm["albedo"], prm["eta_d"], prm["alpha"],
+            thickness=prm["ct_thick"], g=prm["ct_g"],
+            med_albedo=prm["ct_alb"])
+        # proportional-pdf conversion: the walk's (f, pdf) pair is the
+        # unbiased weight; rescale so the reported pdf is the analytic
+        # mixture used for MIS (any partition of unity is valid —
+        # pbrt's pdfIsProportional + approximate LayeredBxDF::PDF)
+        pdf_mis = bxdfs.coated_diffuse_pdf(wo_l, s_walk.wi, prm["eta_d"],
+                                           prm["alpha"])
+        conv = (~s_walk.specular & (s_walk.pdf > 0) & (pdf_mis > 0))
+        f_adj = jnp.where(conv[:, None],
+                          s_walk.f * (pdf_mis
+                                      / jnp.maximum(s_walk.pdf, 1e-30)
+                                      )[:, None],
+                          s_walk.f)
+        s_cod = bxdfs.BSDFSample(
+            s_walk.wi, f_adj,
+            jnp.where(conv, pdf_mis, s_walk.pdf),
+            s_walk.specular, s_walk.eta_scale, s_walk.transmitted)
+    else:
+        s_cod = bxdfs.coated_diffuse_sample(wo_l, u_lobe, u2, prm["albedo"],
+                                            prm["eta_d"], prm["alpha"])
     outs = [s_dif, s_con, s_die, s_thn, s_dft, s_cod]
     kids = [materials_mod.KIND_DIFFUSE, materials_mod.KIND_CONDUCTOR,
             materials_mod.KIND_DIELECTRIC, materials_mod.KIND_THIN_DIELECTRIC,
@@ -424,7 +467,8 @@ def li_path(
                                   jnp.maximum(prm["alpha"], 0.3))
         prm_s = dict(prm, alpha=alpha_reg)
         bs = _bsdf_sample(kind_ids, prm_s, wo_l, u_lobe, u2b,
-                          lam, measured_tables)
+                          lam, measured_tables,
+                          coated_stochastic=prm_stacks["_coated_stochastic"])
         cos_b = jnp.abs(bs.wi[..., 2])
         ok_b = shade & (bs.pdf > 0) & jnp.any(bs.f > 0, -1)
         beta_new = beta * bs.f * (cos_b / jnp.maximum(bs.pdf, 1e-20))[:, None]

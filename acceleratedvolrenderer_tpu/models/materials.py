@@ -158,13 +158,21 @@ class DiffuseTransmissionMaterial:
 @dataclass(frozen=True)
 class CoatedDiffuseMaterial:
     """Dielectric coat over a Lambertian base — the CoatedDiffuseBxDF /
-    LayeredBxDF capability (materials.h coateddiffuse, bxdfs.h:432),
-    evaluated with the deterministic Fresnel-coupled model
-    (bxdfs.coated_diffuse_*) instead of the reference's stochastic
-    interface walk."""
+    LayeredBxDF capability (materials.h coateddiffuse, bxdfs.h:432).
+
+    Two evaluation modes: the deterministic Fresnel-coupled model
+    (bxdfs.coated_diffuse_*, default) and, with stochastic=True, the
+    reference's random interface walk (bxdfs.layered_sample) with the
+    full slab parameters: thickness, interior medium single-scattering
+    albedo `albedo_med`, and HG asymmetry `g` (bxdfs.h LayeredBxDF
+    thickness/albedo/g)."""
     reflectance: Union[Callable, float, object] = 0.5
     eta: float = 1.5
     roughness: Union[Callable, float] = 0.0
+    thickness: float = 0.01
+    g: float = 0.0
+    albedo_med: Union[Callable, float, object, None] = None
+    stochastic: bool = False
     emission: Optional[Callable] = None
     emission_scale: float = 1.0
 

@@ -577,9 +577,23 @@ class PbrtParser:
                 reflectance=spec("reflectance", 0.25),
                 transmittance=spec("transmittance", 0.25))
         if kind == "coateddiffuse":
+            def sflt(name, default):
+                v = flt(name, default)
+                return v if isinstance(v, (int, float)) else default
+
+            # explicit slab parameters opt into the reference's stochastic
+            # LayeredBxDF interface walk (bxdfs.h:432); otherwise the
+            # deterministic Fresnel-coupled model is used
+            layered = any(k in params for k in
+                          ("thickness", "albedo", "g", "maxdepth",
+                           "nsamples"))
             return mats.CoatedDiffuseMaterial(
                 reflectance=spec("reflectance", 0.5),
-                eta=flt("eta", 1.5), roughness=flt("roughness", 0.0))
+                eta=sflt("eta", 1.5), roughness=flt("roughness", 0.0),
+                thickness=sflt("thickness", 0.01), g=sflt("g", 0.0),
+                albedo_med=(_to_spectrum(*params["albedo"])
+                            if "albedo" in params else None),
+                stochastic=layered)
         if kind == "subsurface":
             def rgb3(name, default):
                 if name in params:

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from acceleratedvolrenderer_tpu.models import bxdfs
+from acceleratedvolrenderer_tpu.models import bxdfs as bx
 
 
 def _rand_u(key, n, d=None):
@@ -147,3 +148,97 @@ def test_vndf_sampled_normals_visible():
     wm = bxdfs.tr_sample_wm(wo, _rand_u(22, n, 2), jnp.full((n,), 0.4))
     assert bool(jnp.all(wm[:, 2] > 0))
     assert bool(jnp.all(jnp.sum(wm * wo, -1) > -1e-5))
+
+
+# ---------------------------------------------------------------------------
+# Stochastic LayeredBxDF walk (bxdfs.h:432; VERDICT r1 #34)
+# ---------------------------------------------------------------------------
+
+def _layered_R(alb_val, thickness, med_albedo=None, cosw=0.6, n=16384,
+               g=0.0, seed=9):
+    from acceleratedvolrenderer_tpu.ops import dda
+
+    rng = dda.seed_stream(jnp.arange(n, dtype=jnp.uint32),
+                          jnp.zeros((n,), jnp.uint32), salt=seed)
+    wo = jnp.broadcast_to(
+        jnp.asarray([np.sqrt(1 - cosw ** 2), 0.0, cosw], np.float32), (n, 3))
+    alb = jnp.full((n, 4), alb_val, jnp.float32)
+    eta = jnp.full((n,), 1.5, jnp.float32)
+    alpha = jnp.zeros((n,), jnp.float32)
+    med = (jnp.full((n, 4), med_albedo, jnp.float32)
+           if med_albedo is not None else None)
+    bs, _ = bx.layered_sample(wo, rng, alb, eta, alpha,
+                              thickness=thickness, g=g, med_albedo=med,
+                              max_depth=16)
+    pdf = np.asarray(bs.pdf)
+    w = np.asarray(bs.f[:, 0]) * np.asarray(bx.abs_cos_theta(bs.wi))
+    w = np.where(pdf > 0, w / np.maximum(pdf, 1e-30), 0.0)
+    return float(w.mean())
+
+
+def test_layered_white_furnace():
+    """Unit-albedo base + lossless thin coat: directional-hemispherical
+    reflectance ~ 1 (energy lost only to the walk's depth truncation,
+    as the reference's maxDepth cut)."""
+    R = _layered_R(1.0, 1e-4)
+    assert 0.95 < R < 1.01, R
+
+
+def test_layered_absorption_monotone():
+    """Thicker absorbing interior (albedo=0 medium, sigma_t=1) =>
+    monotonically lower reflectance."""
+    r0 = _layered_R(0.8, 1e-3)
+    r1 = _layered_R(0.8, 0.2)
+    r2 = _layered_R(0.8, 0.6)
+    assert r0 > r1 > r2, (r0, r1, r2)
+
+
+def test_layered_scattering_medium_conserves():
+    """A scattering (albedo=1) interior returns energy the absorbing one
+    loses: R(scattering slab) >> R(absorbing slab), <= white furnace."""
+    r_scat = _layered_R(1.0, 0.5, med_albedo=1.0)
+    r_abs = _layered_R(1.0, 0.5, med_albedo=None)
+    assert r_scat > r_abs + 0.1, (r_scat, r_abs)
+    assert r_scat < 1.02, r_scat
+
+
+def test_layered_matches_analytic_model():
+    """The analytic Fresnel-coupled model and the stochastic walk agree
+    on directional albedo for a typical thin coat (both approximate the
+    same physics; the walk is the ground truth)."""
+    from acceleratedvolrenderer_tpu.ops import dda
+
+    n = 16384
+    cosw = 0.6
+    R_walk = _layered_R(0.5, 1e-3, cosw=cosw, n=n)
+    # analytic: importance-sample coated_diffuse and average f cos / pdf
+    rng = np.random.default_rng(3)
+    u_lobe = jnp.asarray(rng.random(n), jnp.float32)
+    u2 = jnp.asarray(rng.random((n, 2)), jnp.float32)
+    wo = jnp.broadcast_to(
+        jnp.asarray([np.sqrt(1 - cosw ** 2), 0.0, cosw], np.float32), (n, 3))
+    s = bx.coated_diffuse_sample(wo, u_lobe, u2,
+                                 jnp.full((n, 4), 0.5, jnp.float32),
+                                 jnp.full((n,), 1.5, jnp.float32),
+                                 jnp.zeros((n,), jnp.float32))
+    w = np.asarray(s.f[:, 0]) * np.asarray(bx.abs_cos_theta(s.wi))
+    w = np.where(np.asarray(s.pdf) > 0,
+                 w / np.maximum(np.asarray(s.pdf), 1e-30), 0.0)
+    R_analytic = float(w.mean())
+    assert abs(R_walk - R_analytic) < 0.05, (R_walk, R_analytic)
+
+
+def test_layered_deterministic():
+    from acceleratedvolrenderer_tpu.ops import dda
+
+    n = 64
+    rng = dda.seed_stream(jnp.arange(n, dtype=jnp.uint32),
+                          jnp.zeros((n,), jnp.uint32), salt=1)
+    wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3)).astype(jnp.float32)
+    args = (jnp.full((n, 4), 0.7, jnp.float32),
+            jnp.full((n,), 1.5, jnp.float32),
+            jnp.zeros((n,), jnp.float32))
+    a, _ = bx.layered_sample(wo, rng, *args)
+    b, _ = bx.layered_sample(wo, rng, *args)
+    np.testing.assert_array_equal(np.asarray(a.f), np.asarray(b.f))
+    np.testing.assert_array_equal(np.asarray(a.wi), np.asarray(b.wi))
