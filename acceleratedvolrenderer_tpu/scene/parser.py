@@ -127,6 +127,9 @@ def _to_spectrum(ptype, vals):
     if ptype == "spectrum":
         if len(vals) == 1 and vals[0].startswith('"'):
             name = vals[0][1:-1]
+            named = sp.named_spectrum(name)
+            if named is not None:
+                return named
             warnings.warn(f"named spectrum '{name}' approximated as constant 1")
             return sp.constant_spectrum(1.0)
         pairs = _floats(vals)

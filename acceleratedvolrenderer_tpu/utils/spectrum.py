@@ -460,3 +460,98 @@ def rgb_albedo_spectrum_sigmoid(rgb, iters: int = 40):
         return sigmoid_polynomial_eval(cj, lam)
 
     return f
+
+
+# ---------------------------------------------------------------------------
+# Named spectra (util/spectrum.cpp GetNamedSpectrum) — deliberately NOT the
+# reference's vendored measurement tables: optical glasses use the published
+# Sellmeier dispersion coefficients (Schott datasheets), metals use coarse
+# visible-range samples of the standard literature IOR measurements
+# (Johnson & Christy 1972 for Au/Ag/Cu; Rakic 1995 for Al), and the standard
+# illuminants reuse the analytic blackbody/daylight models above.
+# ---------------------------------------------------------------------------
+
+def _sellmeier(b, c):
+    """n(lambda) from Sellmeier coefficients (lambda in nm -> um)."""
+    b1, b2, b3 = b
+    c1, c2, c3 = c
+
+    def f(lam_nm):
+        u2 = (lam_nm * 1e-3) ** 2
+        n2 = 1.0 + b1 * u2 / (u2 - c1) + b2 * u2 / (u2 - c2) \
+            + b3 * u2 / (u2 - c3)
+        return jnp.sqrt(jnp.maximum(n2, 1.0))
+
+    return f
+
+
+_GLASS_SELLMEIER = {
+    "glass-BK7": ((1.03961212, 0.231792344, 1.01046945),
+                  (0.00600069867, 0.0200179144, 103.560653)),
+    "glass-BAF10": ((1.5851495, 0.143559385, 1.08521269),
+                    (0.00926681282, 0.0424489805, 105.613573)),
+    "glass-FK51A": ((0.971247817, 0.216901417, 0.904651666),
+                    (0.00472301995, 0.0153575612, 168.68133)),
+    "glass-LASF9": ((2.00029547, 0.298926886, 1.80691843),
+                    (0.0121426017, 0.0538736236, 156.530829)),
+    "glass-F5": ((1.52481889, 0.187085527, 1.42729015),
+                 (0.011254756, 0.0588995392, 129.141675)),
+    "glass-F10": ((1.62153902, 0.256287842, 1.64447552),
+                  (0.0122241457, 0.0595736775, 147.468793)),
+    "glass-F11": ((1.73759695, 0.313747346, 1.89878101),
+                  (0.013188707, 0.0623068142, 155.23629)),
+}
+
+# (lambda_nm, value) visible-range samples; linearly interpolated, clamped
+_METAL_IOR = {
+    "metal-Au-eta": ((400, 450, 500, 550, 600, 650, 700),
+                     (1.658, 1.426, 0.855, 0.347, 0.180, 0.143, 0.131)),
+    "metal-Au-k": ((400, 450, 500, 550, 600, 650, 700),
+                   (1.956, 1.846, 1.895, 2.731, 3.068, 3.800, 4.103)),
+    "metal-Ag-eta": ((400, 450, 500, 550, 600, 650, 700),
+                     (0.054, 0.045, 0.050, 0.057, 0.059, 0.057, 0.041)),
+    "metal-Ag-k": ((400, 450, 500, 550, 600, 650, 700),
+                   (2.120, 2.568, 3.037, 3.464, 3.890, 4.296, 4.693)),
+    "metal-Cu-eta": ((400, 450, 500, 550, 600, 650, 700),
+                     (1.175, 1.150, 1.120, 1.041, 0.454, 0.221, 0.213)),
+    "metal-Cu-k": ((400, 450, 500, 550, 600, 650, 700),
+                   (2.163, 2.399, 2.598, 2.591, 3.010, 3.435, 3.808)),
+    "metal-Al-eta": ((400, 450, 500, 550, 600, 650, 700),
+                     (0.490, 0.618, 0.769, 0.958, 1.200, 1.468, 1.830)),
+    "metal-Al-k": ((400, 450, 500, 550, 600, 650, 700),
+                   (4.861, 5.471, 6.080, 6.690, 7.260, 7.790, 8.310)),
+    # brass (CuZn) ~ Cu shifted toward yellow; MgO/TiO2 are dielectric-like
+    "metal-CuZn-eta": ((400, 500, 600, 700),
+                       (1.350, 0.960, 0.450, 0.440)),
+    "metal-CuZn-k": ((400, 500, 600, 700),
+                     (1.750, 2.050, 3.000, 3.650)),
+    "metal-MgO-eta": ((400, 550, 700), (1.762, 1.737, 1.724)),
+    "metal-MgO-k": ((400, 550, 700), (0.0, 0.0, 0.0)),
+    "metal-TiO2-eta": ((400, 500, 600, 700),
+                       (2.98, 2.73, 2.61, 2.55)),
+    "metal-TiO2-k": ((400, 500, 600, 700), (0.0, 0.0, 0.0, 0.0)),
+}
+
+
+def named_spectrum(name):
+    """Spectrum callable for a pbrt named spectrum, or None if unknown."""
+    if name in _GLASS_SELLMEIER:
+        return _sellmeier(*_GLASS_SELLMEIER[name])
+    if name in _METAL_IOR:
+        lam_t, v_t = _METAL_IOR[name]
+        lam_a = jnp.asarray(lam_t, jnp.float32)
+        v_a = jnp.asarray(v_t, jnp.float32)
+
+        def f(lam_nm):
+            return jnp.interp(jnp.asarray(lam_nm, jnp.float32), lam_a, v_a)
+
+        return f
+    if name == "stdillum-A":
+        return blackbody_normalized(2856.0)
+    if name == "stdillum-D50":
+        return d_illuminant(5003.0)
+    if name in ("stdillum-D65", "stdillum-dci", "canonical"):
+        return d_illuminant(6504.0)
+    if name == "illum-acesD60":
+        return d_illuminant(6000.0)
+    return None

@@ -129,3 +129,55 @@ def test_rgb2spec_table_cli(tmp_path):
         jnp.asarray(coeffs[0, 3, 1, 2]), jnp.asarray(lam_nm, jnp.float32))
     back = np.asarray(s @ basis)
     assert np.abs(back - target).max() < 2e-3
+
+
+# ---------------------------------------------------------------------------
+# Named spectra (util/spectrum.cpp GetNamedSpectrum; Sellmeier + literature
+# metal IOR fits instead of the vendored tables)
+# ---------------------------------------------------------------------------
+
+def test_named_glass_bk7_sellmeier():
+    f = sp.named_spectrum("glass-BK7")
+    n_d = float(f(jnp.asarray([587.6]))[0])   # helium d-line
+    assert abs(n_d - 1.5168) < 2e-3, n_d      # BK7 datasheet n_d
+    # normal dispersion: n decreases with wavelength
+    n = np.asarray(f(jnp.asarray([400.0, 550.0, 700.0])))
+    assert n[0] > n[1] > n[2]
+
+
+def test_named_metal_gold():
+    eta = sp.named_spectrum("metal-Au-eta")
+    k = sp.named_spectrum("metal-Au-k")
+    lam = jnp.asarray([450.0, 650.0])
+    e = np.asarray(eta(lam)); kk = np.asarray(k(lam))
+    # gold: blue strongly absorbed (high eta, moderate k), red reflective
+    assert e[0] > 1.0 and e[1] < 0.2
+    assert kk[1] > 3.0
+    # normal-incidence reflectance is much higher in the red => gold color
+    def R(n_, k_):
+        return ((n_ - 1) ** 2 + k_ ** 2) / ((n_ + 1) ** 2 + k_ ** 2)
+    assert R(e[1], kk[1]) > R(e[0], kk[0]) + 0.3
+
+
+def test_named_illuminants_and_unknown():
+    assert sp.named_spectrum("stdillum-A") is not None
+    assert sp.named_spectrum("stdillum-D65") is not None
+    assert sp.named_spectrum("no-such-spectrum") is None
+
+
+def test_parser_named_spectrum_conductor(tmp_path):
+    from acceleratedvolrenderer_tpu.scene.parser import PbrtParser
+
+    txt = '''
+WorldBegin
+Material "conductor" "spectrum eta" ["metal-Au-eta"]
+    "spectrum k" ["metal-Au-k"]
+Shape "sphere" "float radius" [1]
+'''
+    f = tmp_path / "au.pbrt"
+    f.write_text(txt)
+    ps = PbrtParser()
+    sc = ps.parse_file(str(f))
+    m = sc.primitives[0].material
+    e = np.asarray(m.eta(jnp.asarray([650.0])))
+    assert e[0] < 0.2    # the named gold eta, not the constant-1 fallback
