@@ -547,7 +547,10 @@ def render_gbuffer(scene, spp: Optional[int] = None):
     if opaque:
         hit = shapes_mod.intersect_all(opaque, o, d, jnp.inf)
         lam = jnp.full((N, sp.N_SPECTRUM_SAMPLES), 550.0)
-        prm = _gather_mat_params(opaque, lam, hit.uv, N)
+        p_ctx = jnp.where(jnp.isfinite(hit.t)[:, None],
+                          o + jnp.nan_to_num(hit.t, posinf=0.0)[:, None] * d,
+                          o)
+        prm = _gather_mat_params(opaque, lam, hit.uv, N, p=p_ctx, n=hit.n)
         mid = jnp.clip(hit.prim_id, 0, len(opaque) - 1)
         alb_spec = _take(jnp.asarray(prm["albedo"]), mid)
         from ..utils import colorspace as cspace

@@ -12,6 +12,9 @@ vs_baseline = our Mrays/s / reference Mrays/s.
 --grid FILE renders a real density grid instead of the procedural analog:
 .nvdb (NanoVDB, e.g. the WDAS cloud), .npy, or .npz[density] — the asset
 leg of the ingestion pipeline (cmd/nanovdb2pbrt.cpp).
+
+Lane count: 16384 measured fastest at 720p on the v5 chip (7.31 Mrays/s
+vs 6.42 at 4096 — the r1 default; 8192 within noise, 32768 regresses).
 """
 import argparse
 import json
@@ -45,6 +48,8 @@ def main(argv=None):
                     help="real density grid (.nvdb/.npy/.npz) to render "
                          "instead of the procedural cloud analog")
     ap.add_argument("--spp", type=int, default=2)
+    ap.add_argument("--lanes", type=int, default=16384,
+                    help="regen-renderer lane count (perf knob)")
     ap.add_argument("--no-occupancy", action="store_true",
                     help="skip the instrumented occupancy pass")
     args = ap.parse_args(argv)
@@ -74,7 +79,7 @@ def main(argv=None):
     # path-regeneration renderer: one fused kernel per frame x spp batch;
     # stochastic filtering = 1-tap unbiased trilerp (2x on the 256^3 grid)
     knobs = dict(spp=bench_spp, k_substeps=8, stochastic_filter=True,
-                 retire_groups=2)
+                 retire_groups=2, n_lanes=args.lanes)
     run, density, majorant = render_mod.make_regen_renderer(scene, **knobs)
 
     film0 = jnp.zeros((3 * (height * width + 1),))
@@ -111,7 +116,7 @@ def main(argv=None):
         jax.block_until_ready(hist)
         h = np.asarray(hist)
         iters = int((h > 0).sum())
-        n_lanes = 4096
+        n_lanes = args.lanes
         if iters:
             out["occupancy"] = round(float(h.sum()) / (iters * n_lanes), 4)
             out["mean_alive_lanes"] = round(float(h.sum()) / iters, 1)
