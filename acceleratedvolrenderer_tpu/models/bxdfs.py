@@ -654,3 +654,161 @@ def layered_sample(wo, rng, albedo, eta, alpha, thickness=0.01, g=0.0,
         eta_scale=jnp.ones((N,), jnp.float32),
         transmitted=jnp.zeros((N,), bool),
     ), rng
+
+def layered_f(wo, wi, rng, albedo, eta, alpha, thickness=0.01, g=0.0,
+              med_albedo=None, max_depth=8):
+    """One-sample stochastic estimate of the layered BSDF value f(wo, wi).
+
+    The NEE/direct-lighting companion of layered_sample — the reference's
+    LayeredBxDF::f (bxdfs.h:432, the random-walk estimator with exit-side
+    importance transmission): enter the coat along wo, walk between the
+    interfaces, and at every interior vertex (medium scatter or diffuse
+    base) connect to wi through an exit-transmission sample wis.  Using it
+    for NEE makes light sampling integrate the SAME slab-attenuated BRDF
+    the walk-based BSDF sampling does (thickness/g/albedo_med included),
+    instead of the clear-slab analytic coated_diffuse_f.
+
+    Returns (f_estimate (N, L), rng).  Reflection-only (coated diffuse):
+    wo/wi in opposite hemispheres give 0.
+    """
+    from ..ops import dda
+    from ..ops import phase as phase_mod
+
+    N = wo.shape[0]
+    thickness = jnp.broadcast_to(jnp.asarray(thickness, jnp.float32), (N,))
+    g = jnp.broadcast_to(jnp.asarray(g, jnp.float32), (N,))
+    has_med = med_albedo is not None
+
+    def draw(rng):
+        rng, u = dda.pcg_uniform(rng)
+        return rng, u
+
+    def draw2(rng):
+        rng, u1 = dda.pcg_uniform(rng)
+        rng, u2 = dda.pcg_uniform(rng)
+        return rng, jnp.stack([u1, u2], -1)
+
+    valid = same_hemisphere(wo, wi) & (abs_cos_theta(wo) > 1e-7) \
+        & (abs_cos_theta(wi) > 1e-7)
+    flip = wo[..., 2] < 0
+    sflip = jnp.where(flip, -1.0, 1.0)[..., None]
+    wo_u = wo * sflip
+    wi_u = wi * sflip
+
+    # term 1: coat-reflection lobe wo -> wi (analytic; zero when the coat
+    # is effectively smooth — the delta carries no density at a fixed wi)
+    f_est = jnp.where(
+        (valid & ~tr_effectively_smooth(alpha))[..., None],
+        dielectric_f(wo_u, wi_u, eta, jnp.maximum(alpha, 2e-3)), 0.0)
+
+    # ---- entry transmission sample along wo ----
+    rng, uc = draw(rng)
+    rng, u2 = draw2(rng)
+    bs_o = dielectric_sample(wo_u, uc, u2, eta, alpha)
+    walk0 = valid & bs_o.transmitted & (bs_o.pdf > 0) \
+        & (jnp.abs(bs_o.wi[..., 2]) > 1e-7)
+    # transmission-only estimator: contribute only on transmitted draws;
+    # f cos / pdf then matches pbrt's SampleFlags::Transmission weight in
+    # expectation (the (1-F) selection probability cancels identically)
+    beta = jnp.where(walk0[..., None],
+                     bs_o.f * abs_cos_theta(bs_o.wi)[..., None]
+                     / jnp.maximum(bs_o.pdf, 1e-30)[..., None], 0.0)
+
+    # ---- exit-side importance transmission sample along wi ----
+    rng, uc2 = draw(rng)
+    rng, u22 = draw2(rng)
+    bs_i = dielectric_sample(wi_u, uc2, u22, eta, alpha)
+    ok_i = valid & bs_i.transmitted & (bs_i.pdf > 0) \
+        & (jnp.abs(bs_i.wi[..., 2]) > 1e-7)
+    # importance-mode transmission drops the radiance 1/eta_p^2 compression
+    # (pbrt TransportMode::Importance): undo it on the radiance-mode sample
+    beta_exit = jnp.where(
+        ok_i[..., None],
+        bs_i.f * (bs_i.eta_scale / jnp.maximum(bs_i.pdf, 1e-30))[..., None],
+        0.0)
+    w_exit = bs_i.wi          # points INTO the slab (z < 0)
+    cos_exit = jnp.maximum(jnp.abs(w_exit[..., 2]), 1e-7)
+
+    walking = walk0 & ok_i
+    w = bs_o.wi
+    z = thickness
+
+    for depth in range(max_depth):
+        rr_beta = jnp.max(beta, axis=-1)
+        rng, u_rr = draw(rng)
+        if depth > 3:
+            q = jnp.where(rr_beta < 0.25, jnp.clip(1.0 - rr_beta, 0.0, 1.0),
+                          0.0)
+            die = walking & (u_rr < q)
+            beta = jnp.where((walking & ~die & (q > 0))[..., None],
+                             beta / jnp.maximum(1.0 - q, 1e-6)[..., None],
+                             beta)
+            walking = walking & ~die
+        walking = walking & (jnp.abs(w[..., 2]) > 1e-7)
+
+        scattered = jnp.zeros((N,), bool)
+        if has_med:
+            rng, u_t = draw(rng)
+            dz = -jnp.log1p(-jnp.minimum(u_t, 1.0 - 1e-7)) \
+                * jnp.abs(w[..., 2])
+            zp = jnp.where(w[..., 2] > 0, z + dz, z - dz)
+            inside = (zp > 0) & (zp < thickness)
+            scattered = walking & inside
+            # NEE: phase vertex -> exit connection through wis
+            p_conn = phase_mod.hg_phase(-w, -w_exit, g)
+            tr_up = jnp.exp(-(thickness - jnp.clip(zp, 0.0, thickness))
+                            / cos_exit)
+            f_est = f_est + jnp.where(
+                scattered[..., None],
+                beta * med_albedo * p_conn[..., None] * tr_up[..., None]
+                * beta_exit, 0.0)
+            # continuation: exact HG sampling (p/pdf = 1)
+            rng, u_p = draw2(rng)
+            wi_ph, _ = phase_mod.sample_hg(-w, u_p, g)
+            beta = jnp.where(scattered[..., None], beta * med_albedo, beta)
+            w = jnp.where(scattered[..., None], wi_ph, w)
+            z = jnp.where(scattered, zp,
+                          jnp.where(walking, jnp.clip(zp, 0.0, thickness), z))
+        else:
+            tr = jnp.exp(-thickness / jnp.maximum(jnp.abs(w[..., 2]), 1e-7))
+            beta = jnp.where(walking[..., None], beta * tr[..., None], beta)
+            z = jnp.where(walking, jnp.where(z <= 0.0, thickness, 0.0), z)
+
+        at_interface = walking & ~scattered
+        at_bottom = at_interface & (z <= 0.0)
+        at_top = at_interface & (z >= thickness)
+
+        # bottom NEE: diffuse base -> exit connection
+        f_bot = diffuse_f(-w, -w_exit, albedo)
+        tr_full = jnp.exp(-thickness / cos_exit)
+        f_est = f_est + jnp.where(
+            at_bottom[..., None],
+            beta * f_bot * cos_exit[..., None] * tr_full[..., None]
+            * beta_exit, 0.0)
+
+        # continuation through the interface (bottom: diffuse bounce;
+        # top: dielectric — transmission exits carry no more NEE weight,
+        # reflection re-enters)
+        rng, uc3 = draw(rng)
+        rng, u23 = draw2(rng)
+        bs_b = diffuse_sample(-w, u23, albedo)
+        bs_t = dielectric_sample(-w, uc3, u23, eta, alpha)
+        b_f = jnp.where(at_bottom[..., None], bs_b.f, bs_t.f)
+        b_pdf = jnp.where(at_bottom, bs_b.pdf, bs_t.pdf)
+        b_wi = jnp.where(at_bottom[..., None], bs_b.wi, bs_t.wi)
+        b_trans = jnp.where(at_bottom, bs_b.transmitted, bs_t.transmitted)
+        ok = (b_pdf > 0) & (jnp.abs(b_wi[..., 2]) > 1e-7) \
+            & (jnp.max(b_f, axis=-1) > 0)
+        walking = jnp.where(at_interface, walking & ok, walking)
+        # top-transmission = the walk left the slab without touching wi's
+        # exit sample: that path's contribution is already counted via the
+        # wis connections, so the walk just dies
+        exit_top = at_interface & at_top & ok & b_trans
+        walking = walking & ~exit_top
+        upd = at_interface & ok & ~exit_top
+        beta = jnp.where(upd[..., None],
+                         beta * b_f * abs_cos_theta(b_wi)[..., None]
+                         / jnp.maximum(b_pdf, 1e-30)[..., None], beta)
+        w = jnp.where(upd[..., None], b_wi, w)
+
+    return jnp.where(valid[..., None], f_est, 0.0), rng

@@ -118,6 +118,7 @@ def _mat_param_row(m, lam, uv, N, mreg=None, p=None, n=None):
         alpha=materials_mod._eval_float(r, uv, (N,), p, n),
         ct_thick=jnp.full((N,), float(getattr(m, "thickness", 0.01))),
         ct_g=jnp.full((N,), float(getattr(m, "g", 0.0))),
+        ct_stoch=jnp.full((N,), bool(getattr(m, "stochastic", False))),
         ct_alb=(materials_mod._eval_spectral(m.albedo_med, lam, uv, p, n)
                 if getattr(m, "albedo_med", None) is not None else zeros_s),
         emission=(materials_mod._eval_spectral(m.emission, lam, uv, p, n)
@@ -204,10 +205,22 @@ def _bsdf_sample(kind_ids, prm, wo_l, u_lobe, u2, lam=None, measured=(),
                                       / jnp.maximum(s_walk.pdf, 1e-30)
                                       )[:, None],
                           s_walk.f)
-        s_cod = bxdfs.BSDFSample(
+        s_wsel = bxdfs.BSDFSample(
             s_walk.wi, f_adj,
             jnp.where(conv, pdf_mis, s_walk.pdf),
             s_walk.specular, s_walk.eta_scale, s_walk.transmitted)
+        # per-lane opt-in: only materials with stochastic=True take the
+        # walk; analytic coated lanes keep the deterministic approximation
+        s_ana = bxdfs.coated_diffuse_sample(wo_l, u_lobe, u2, prm["albedo"],
+                                            prm["eta_d"], prm["alpha"])
+        stoch = prm["ct_stoch"]
+        s_cod = bxdfs.BSDFSample(
+            jnp.where(stoch[:, None], s_wsel.wi, s_ana.wi),
+            jnp.where(stoch[:, None], s_wsel.f, s_ana.f),
+            jnp.where(stoch, s_wsel.pdf, s_ana.pdf),
+            jnp.where(stoch, s_wsel.specular, s_ana.specular),
+            jnp.where(stoch, s_wsel.eta_scale, s_ana.eta_scale),
+            jnp.where(stoch, s_wsel.transmitted, s_ana.transmitted))
     else:
         s_cod = bxdfs.coated_diffuse_sample(wo_l, u_lobe, u2, prm["albedo"],
                                             prm["eta_d"], prm["alpha"])
@@ -435,6 +448,22 @@ def li_path(
             wi_l_nee = vmu.to_local(bx, by, bz, ls.wi)
             f_nee, pdf_b_nee = _bsdf_f_pdf(kind_ids, prm, wo_l, wi_l_nee,
                                            lam, measured_tables)
+            if prm_stacks["_coated_stochastic"]:
+                # stochastic coated lanes: NEE must evaluate the SAME
+                # slab-aware layered BRDF the walk samples (reference
+                # LayeredBxDF::f) — the analytic coated_diffuse_f ignores
+                # thickness/g/albedo_med and over-brightens direct light
+                ct_lanes = shade & (kind_ids == materials_mod.
+                                    KIND_COATED_DIFFUSE) & prm["ct_stoch"]
+                rng_f = dda.seed_stream(
+                    (src.next(ct_lanes) * (1 << 24)).astype(jnp.uint32),
+                    (src.next(ct_lanes) * (1 << 24)).astype(jnp.uint32),
+                    salt=0xF1A7)
+                f_walk, _ = bxdfs.layered_f(
+                    wo_l, wi_l_nee, rng_f, prm["albedo"], prm["eta_d"],
+                    prm["alpha"], thickness=prm["ct_thick"], g=prm["ct_g"],
+                    med_albedo=prm["ct_alb"])
+                f_nee = jnp.where(ct_lanes[:, None], f_walk, f_nee)
             cos_nee = jnp.abs(wi_l_nee[..., 2])
             p_off = p_hit + n_g * jnp.where(
                 vmu.dot(n_g, ls.wi) > 0, _SURF_EPS, -_SURF_EPS)[:, None]
@@ -495,7 +524,9 @@ def li_path(
         spec_prev = jnp.where(alive, bs.specular, spec_prev)
         pdf_prev = jnp.where(alive, bs.pdf, pdf_prev)
 
-    rng_out = src.rng if isinstance(src, PCGSource) else rng
+    # return the source's advanced stream (PCGSource AND PathSampler's
+    # fallback stream both live in src.rng); VectorSource has none
+    rng_out = getattr(src, "rng", rng)
     return L, rng_out
 
 

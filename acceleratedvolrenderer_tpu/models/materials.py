@@ -69,9 +69,13 @@ def _eval_float(value, uv=None, shape=None, p=None, n=None):
         return jnp.full(shape, jnp.float32(value))
     from . import textures as tex_mod
 
-    return jnp.broadcast_to(
-        jnp.asarray(tex_mod.eval_texture(value, uv, p=p, n=n), jnp.float32),
-        shape)
+    out = jnp.asarray(tex_mod.eval_texture(value, uv, p=p, n=n), jnp.float32)
+    # an rgb texture bound to a float parameter (the parser's flt() permits
+    # it): reduce the trailing channel dim to its mean, matching pbrt's
+    # scalar conversion, instead of failing the (N,) broadcast
+    if shape is not None and out.ndim == len(shape) + 1:
+        out = out.mean(axis=-1)
+    return jnp.broadcast_to(out, shape)
 
 
 @dataclass(frozen=True)

@@ -40,8 +40,11 @@ class ScaleTexture:
     base: object
     scale: float = 1.0
 
+    def eval_ctx(self, uv, p=None, n=None):
+        return eval_texture(self.base, uv, p=p, n=n) * jnp.float32(self.scale)
+
     def eval(self, uv):
-        return self.base.eval(uv) * jnp.float32(self.scale)
+        return self.eval_ctx(uv)
 
 
 @dataclass(frozen=True)
@@ -52,15 +55,18 @@ class CheckerboardTexture:
     uscale: float = 1.0
     vscale: float = 1.0
 
-    def eval(self, uv):
+    def eval_ctx(self, uv, p=None, n=None):
         iu = jnp.floor(uv[..., 0] * self.uscale).astype(jnp.int32)
         iv = jnp.floor(uv[..., 1] * self.vscale).astype(jnp.int32)
         odd = ((iu + iv) % 2) != 0
-        a = self.tex1.eval(uv)
-        b = self.tex2.eval(uv)
+        a = eval_texture(self.tex1, uv, p=p, n=n)
+        b = eval_texture(self.tex2, uv, p=p, n=n)
         if a.ndim > odd.ndim:
             odd = odd[..., None]
         return jnp.where(odd, b, a)
+
+    def eval(self, uv):
+        return self.eval_ctx(uv)
 
 
 @dataclass(frozen=True)
@@ -78,10 +84,13 @@ class MixTexture:
     tex2: object
     amount: float = 0.5
 
-    def eval(self, uv):
-        a = self.tex1.eval(uv)
-        b = self.tex2.eval(uv)
+    def eval_ctx(self, uv, p=None, n=None):
+        a = eval_texture(self.tex1, uv, p=p, n=n)
+        b = eval_texture(self.tex2, uv, p=p, n=n)
         return a * (1.0 - self.amount) + b * self.amount
+
+    def eval(self, uv):
+        return self.eval_ctx(uv)
 
 
 class ImageTexture:
@@ -322,8 +331,20 @@ class DotsTexture:
 # mapping).  Differentials (dsdx/dtdx) are round-3 with ray differentials.
 # ---------------------------------------------------------------------------
 
-def _xform_p(m, p):
-    """Apply a 4x4 texture-from-render transform to points (N, 3)."""
+def _xform_p(m, p, uv=None):
+    """Apply a 4x4 texture-from-render transform to points (N, 3).
+
+    When the hit position is unavailable (p is None — e.g. a mapped
+    texture evaluated through a parent that only forwards uv, or the
+    constant-parameter path), fall back to lifting uv into 3D so the
+    mapping stays defined instead of crashing; positional mappings then
+    degrade to a uv-derived parameterization."""
+    if p is None:
+        if uv is None:
+            raise ValueError("positional texture mapping evaluated with "
+                             "neither hit position nor uv")
+        z = jnp.zeros(uv.shape[:-1] + (1,), jnp.float32)
+        p = jnp.concatenate([uv[..., :2], z], -1)
     if m is None:
         return p
     m = jnp.asarray(m, jnp.float32)
@@ -349,7 +370,7 @@ class SphericalMapping:
     texture_from_render: Optional[tuple] = None   # 4x4 row-major
 
     def map(self, uv, p=None):
-        pt = _xform_p(self.texture_from_render, p)
+        pt = _xform_p(self.texture_from_render, p, uv)
         v = pt / jnp.maximum(jnp.linalg.norm(pt, axis=-1, keepdims=True),
                              1e-20)
         theta = jnp.arccos(jnp.clip(v[..., 2], -1.0, 1.0))
@@ -364,7 +385,7 @@ class CylindricalMapping:
     texture_from_render: Optional[tuple] = None
 
     def map(self, uv, p=None):
-        pt = _xform_p(self.texture_from_render, p)
+        pt = _xform_p(self.texture_from_render, p, uv)
         s = (np.pi + jnp.arctan2(pt[..., 1], pt[..., 0])) / (2 * np.pi)
         return jnp.stack([s, pt[..., 2]], -1)
 
@@ -379,7 +400,7 @@ class PlanarMapping:
     texture_from_render: Optional[tuple] = None
 
     def map(self, uv, p=None):
-        pt = _xform_p(self.texture_from_render, p)
+        pt = _xform_p(self.texture_from_render, p, uv)
         vs = jnp.asarray(self.vs, jnp.float32)
         vt = jnp.asarray(self.vt, jnp.float32)
         return jnp.stack([self.ds + pt @ vs, self.dt + pt @ vt], -1)
@@ -391,7 +412,7 @@ class PointTransformMapping:
     texture_from_render: Optional[tuple] = None
 
     def map(self, uv, p=None):
-        return _xform_p(self.texture_from_render, p)
+        return _xform_p(self.texture_from_render, p, uv)
 
 
 @dataclass(frozen=True)

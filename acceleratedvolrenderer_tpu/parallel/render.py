@@ -152,9 +152,12 @@ def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
                     # point feed BSDF/light draws via the source seam
                     usrc = None
                     if scene.sampler not in ("independent",):
+                        # no rng= here: PathSampler's post-max_dims fallback
+                        # must live on its own salted stream, not share the
+                        # caller's state (which li_path also returns)
                         usrc = samplers_mod.PathSampler(
                             scene.sampler, pixidx, sidx, scene.spp,
-                            seed=scene.seed + 0x9A7, rng=rng)
+                            seed=scene.seed + 0x9A7)
                     L, rng = path_mod.li_path(
                         tuple(scene.primitives), scene.lights, o, d, swl.lam,
                         rng, max_depth=scene.max_depth,
