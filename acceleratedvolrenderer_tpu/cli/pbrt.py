@@ -62,6 +62,13 @@ def main(argv=None):
     ap.add_argument("--write-partial-images", action="store_true",
                     dest="write_partial",
                     help="write the in-progress film at power-of-2 waves")
+    ap.add_argument("--checkpoint", default=None, metavar="PATH.npz",
+                    help="periodically save the film accumulator + next "
+                         "sample index; if PATH exists the render RESUMES "
+                         "from it bitwise-exactly (counter-based RNG keys "
+                         "waves by sample index)")
+    ap.add_argument("--checkpoint-every", type=int, default=32,
+                    metavar="N", help="checkpoint every N samples")
     ap.add_argument("--display-server", default=None, metavar="HOST:PORT",
                     help="stream wave images to a tev display server")
     ap.add_argument("--log-utilization", action="store_true",
@@ -408,6 +415,17 @@ def main(argv=None):
         img = np.asarray(film.to_image())
         stats = {"render_time": dt, "spp": scene.spp,
                  "rays_per_sec": scene.width * scene.height * scene.spp / dt}
+    elif args.checkpoint:
+        if args.integrator is not None:
+            scene.integrator = args.integrator
+        from ..parallel import checkpoint as ckpt_mod
+
+        img, stats = ckpt_mod.render_with_checkpoints(
+            scene, checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every)
+        stats.setdefault("rays_per_sec",
+                         scene.width * scene.height * stats["spp"]
+                         / max(stats["render_time"], 1e-9))
     else:
         if args.integrator is not None:
             scene.integrator = args.integrator
