@@ -27,10 +27,11 @@ wavelength) of each pixel sample.  Three strategies:
   halton      — radical inverse base 2 / base 3 with per-pixel digit
                 scrambling (HaltonSampler :33 semantics; per-pixel
                 scrambling replaces the global pixel-tile index offsets)
-  pmj02bn     — alias of zsobol: both produce (0,2)-stratified points with
-                blue-noise distribution across pixels; the table-driven
-                PMJ02BNSampler (:367) is replaced by the procedural
-                construction
+  pmj02bn     — generated progressive multi-jittered (0,2) tables with
+                best-candidate blue noise (models.pmj02, the Christensen/
+                Kensler construction behind PMJ02BNSampler :367), padded
+                across pixels by void-and-cluster blue-noise toroidal
+                shifts
 """
 from __future__ import annotations
 
@@ -202,7 +203,7 @@ def film_sample(kind: str, pixel_index, sample_index, spp: int, seed: int = 0,
         u1, u2 = sobol02(perm, pix_seed)
         return u1, u2, rng
 
-    if kind in ("zsobol", "pmj02bn"):
+    if kind == "zsobol":
         if pix is not None:
             idx = _zsobol_index(pix, sample_index, spp,
                                 jnp.uint32(seed & 0xFFFFFFFF))
@@ -214,6 +215,30 @@ def film_sample(kind: str, pixel_index, sample_index, spp: int, seed: int = 0,
         # one GLOBAL scramble: spatial decorrelation comes from the index
         # permutation, which is what yields the blue-noise error distribution
         u1, u2 = sobol02(idx, jnp.uint32(0xA511E9B3) ^ jnp.uint32(seed))
+        return u1, u2, rng
+
+    if kind == "pmj02bn":
+        # PMJ02BNSampler (samplers.h:367): generated pmj02bn point sets
+        # (models.pmj02, Christensen et al. construction) + per-pixel
+        # toroidal shifts from a void-and-cluster blue-noise texture
+        from . import pmj02 as pmj02_mod
+
+        tables, bn = pmj02_mod.get_tables(0)
+        tab = jnp.asarray(tables[0])                      # (T, 2)
+        bn_t = jnp.asarray(bn)                            # (64, 64, 2)
+        i = jnp.asarray(sample_index, jnp.uint32) % pmj02_mod.TABLE_SIZE
+        u = tab[i]                                        # (N, 2)
+        if pix is not None:
+            bx = jnp.asarray(pix[..., 0], jnp.uint32) % 64
+            by = jnp.asarray(pix[..., 1], jnp.uint32) % 64
+        else:
+            p_u = jnp.asarray(pixel_index, jnp.uint32)
+            bx, by = p_u % 64, (p_u // 64) % 64
+        # seed rotates the texture so independent renders decorrelate
+        sx = jnp.uint32(_owen_hash(jnp.uint32(seed), jnp.uint32(0x51)) % 64)
+        shift = bn_t[(by + sx) % 64, (bx + sx) % 64]      # (N, 2)
+        u1 = (u[..., 0] + shift[..., 0]) % 1.0
+        u2 = (u[..., 1] + shift[..., 1]) % 1.0
         return u1, u2, rng
 
     if kind == "halton":
@@ -285,7 +310,22 @@ def path_dim_sample(kind: str, pixel_index, sample_index, spp: int,
         n = max(int(spp), 1)
         stratum = (i + (shift * n).astype(jnp.uint32)) % n
         return (stratum.astype(jnp.float32) + jit) / n
-    if kind in ("halton", "sobol", "zsobol", "paddedsobol", "pmj02bn"):
+    if kind == "pmj02bn":
+        # interior dims draw from the remaining generated point sets,
+        # padded across pixels by a blue-noise toroidal shift (the
+        # reference's per-dimension pmj02bn set rotation)
+        from . import pmj02 as pmj02_mod
+
+        tables, bn = pmj02_mod.get_tables(0)
+        tab = jnp.asarray(tables[1 + (dim % (pmj02_mod.N_SETS - 1))])
+        bn_t = jnp.asarray(bn)
+        ii = i % pmj02_mod.TABLE_SIZE
+        u = tab[ii, dim % 2]
+        bx, by = pix % 64, (pix // 64) % 64
+        sx = jnp.uint32((0x9E3779B9 * (dim + seed + 1)) % 64)
+        shift = bn_t[(by + sx) % 64, (bx + 2 * sx) % 64, dim % 2]
+        return (u + shift) % 1.0
+    if kind in ("halton", "sobol", "zsobol", "paddedsobol"):
         base = _PRIMES[dim % len(_PRIMES)]
         # per-(pixel, dim) scramble key: equal within a pixel (one Halton
         # permutation per pixel), decorrelated across pixels/dims

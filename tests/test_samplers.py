@@ -169,3 +169,51 @@ def test_stratified_path_dims():
     u = np.asarray(samplers.path_dim_sample("stratified", pix, idx, spp, 0))
     bins = sorted(((u * spp).astype(int)).tolist())
     assert bins == list(range(spp))   # every stratum hit exactly once
+
+
+def test_pmj02_tables_valid():
+    """Generated pmj02bn sets satisfy the progressive (0,2) property
+    (samplers.h:367 PMJ02BNSampler's table contract)."""
+    from acceleratedvolrenderer_tpu.models import pmj02
+
+    tables, bn = pmj02.get_tables(0)
+    assert tables.shape == (pmj02.N_SETS, pmj02.TABLE_SIZE, 2)
+    for t in tables:
+        assert pmj02.validate_pmj02(t)
+    # blue-noise texture is a complete ranking (all values distinct)
+    assert np.unique(bn[..., 0]).size == bn.shape[0] * bn.shape[1]
+
+
+def test_pmj02_film_sample_stratified_convergence():
+    """pmj02bn film samples integrate a smooth 2D function with lower
+    error than white noise at power-of-two sample counts."""
+    from acceleratedvolrenderer_tpu.models import samplers
+
+    spp = 256
+    pix = jnp.zeros((spp,), jnp.uint32)
+    idx = jnp.arange(spp, dtype=jnp.uint32)
+    u1, u2, _ = samplers.film_sample(
+        "pmj02bn", pix, idx, spp, seed=1,
+        pix=jnp.zeros((spp, 2), jnp.int32))
+    f = np.sin(np.pi * np.asarray(u1)) * np.asarray(u2) ** 2
+    exact = (2.0 / np.pi) * (1.0 / 3.0)
+    err_ld = abs(float(f.mean()) - exact)
+
+    ui, vi, _ = samplers.film_sample("independent", pix, idx, spp, seed=1)
+    fi = np.sin(np.pi * np.asarray(ui)) * np.asarray(vi) ** 2
+    err_wn = abs(float(fi.mean()) - exact)
+    assert err_ld < max(err_wn, 0.01)
+    # all samples in [0,1)
+    assert ((np.asarray(u1) >= 0) & (np.asarray(u1) < 1)).all()
+
+
+def test_pmj02_pixel_decorrelation():
+    """Different pixels get toroidally shifted (different) sample sets."""
+    from acceleratedvolrenderer_tpu.models import samplers
+
+    idx = jnp.arange(16, dtype=jnp.uint32)
+    a = samplers.film_sample("pmj02bn", jnp.zeros((16,), jnp.uint32), idx,
+                             16, pix=jnp.zeros((16, 2), jnp.int32))[0]
+    b = samplers.film_sample("pmj02bn", jnp.zeros((16,), jnp.uint32), idx,
+                             16, pix=jnp.full((16, 2), 9, jnp.int32))[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
