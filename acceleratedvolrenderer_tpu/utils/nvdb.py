@@ -23,8 +23,9 @@ pbrt-v4's openvdb `feature/nanovdb` branch):
     to the holding node's start;
   * the root uses the single-uint64 key (ijk>>12 packed 21 bits/axis).
 
-Codecs NONE and ZIP are supported (BLOSC is not in this image; a clear
-error is raised).  The writer produces files this reader round-trips
+Codecs NONE, ZIP and BLOSC are supported (BLOSC via the from-scratch
+chunk codec in utils/blosc.py — LZ4 block format + byte shuffle, the
+combination NanoVDB IO emits).  The writer produces files this reader round-trips
 bit-exactly, used by tests/test_nvdb.py; the reader additionally tolerates
 grids whose stats/checksum fields are unset.
 """
@@ -130,9 +131,11 @@ def read_nvdb(path: str, grid_name: str | None = None) -> NvdbGrid:
         if g_codec == CODEC_ZIP:
             blob = zlib.decompress(blob)
         elif g_codec == CODEC_BLOSC:
-            raise NotImplementedError(
-                f"{path}: BLOSC-compressed grids are not supported "
-                "(re-export with codec NONE or ZIP)")
+            # real WDAS exports use blosc (LZ4 + byte shuffle); decoded by
+            # the from-scratch chunk codec (utils/blosc.py)
+            from . import blosc as blosc_mod
+
+            blob = blosc_mod.decompress(blob)
         if len(blob) != grid_size:
             raise ValueError(f"{path}: grid '{name}' decodes to "
                              f"{len(blob)} bytes, expected {grid_size}")
@@ -309,11 +312,19 @@ def write_nvdb(path: str, grids, codec: str = "none"):
     """
     if isinstance(grids, NvdbGrid):
         grids = [grids]
-    codec_id = {"none": CODEC_NONE, "zip": CODEC_ZIP}[codec]
+    codec_id = {"none": CODEC_NONE, "zip": CODEC_ZIP,
+                "blosc": CODEC_BLOSC}[codec]
     out = [FILE_HEADER.pack(MAGIC, _version(), len(grids), codec_id)]
     for g in grids:
         blob = _build_grid(g, len(grids))
-        stored = zlib.compress(blob) if codec_id == CODEC_ZIP else blob
+        if codec_id == CODEC_ZIP:
+            stored = zlib.compress(blob)
+        elif codec_id == CODEC_BLOSC:
+            from . import blosc as blosc_mod
+
+            stored = blosc_mod.compress(bytes(blob), typesize=4)
+        else:
+            stored = blob
         name_b = g.name.encode() + b"\0"
         dense = np.asarray(g.data, np.float32)
         nz, ny, nx = dense.shape
