@@ -50,6 +50,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.lax import stop_gradient as sg
 
 from ...ops import phase as phase_ops
@@ -351,6 +352,20 @@ def li(
         # splat to the discard slot
         R_base = regen.get("work_base", jnp.int32(0))
         R_gtotal = regen.get("global_total", R_total)
+        # work->pixel stride permutation (occupancy): consecutive work ids
+        # land on pixels a coprime stride apart, so every refill batch
+        # mixes short sky paths with long in-medium paths instead of
+        # streaming whole sky regions through the retire stage (which is
+        # capped at one group per iteration).  A fixed bijection: streams
+        # stay keyed by (pixel, sample), so images are stride-invariant
+        # up to film-add order.
+        R_stride = int(regen.get("work_stride", 1))
+
+        def work_pixel(gw):
+            p_raw = (gw % R_HW).astype(jnp.uint32)
+            if R_stride == 1:
+                return p_raw
+            return (p_raw * jnp.uint32(R_stride)) % jnp.uint32(R_HW)
 
         def spawn(work):
             """Camera ray + wavelengths + rng stream for work items.
@@ -359,7 +374,7 @@ def li(
             (pixel, sample), wavelength draw from the advanced stream."""
             gw = work + R_base
             s_idx = (gw // R_HW).astype(jnp.uint32)
-            p_idx = (gw % R_HW).astype(jnp.uint32)
+            p_idx = work_pixel(gw)
             x = (p_idx % R_W).astype(jnp.int32)
             y = (p_idx // R_W).astype(jnp.int32)
             pixxy = jnp.stack([x, y], -1)
@@ -1023,12 +1038,21 @@ def li(
             done = done & active
         swl = _spu.SampledWavelengths(c.lam, c.lam_pdf)
         rgb = _cspace.xyz_to_rgb(_spu.to_xyz(c.L, swl))
-        m = jnp.max(rgb, axis=-1)
-        clamp = jnp.where(m > R_maxc, R_maxc / jnp.maximum(m, 1e-24), 1.0)
-        rgb = jnp.nan_to_num(rgb * clamp[:, None],
-                             nan=0.0, posinf=0.0, neginf=0.0)
+        # python-level gate: with max_component = inf the clamp must not
+        # trace at all — the masked-out inf/m branch poisons reverse-mode
+        # AD with 0 * -inf = NaN cotangents (regen gradient path)
+        try:
+            _maxc_finite = np.isfinite(float(R_maxc))
+        except TypeError:        # traced value: keep the clamp
+            _maxc_finite = True
+        if _maxc_finite:
+            m = jnp.max(rgb, axis=-1)
+            clamp = jnp.where(m > R_maxc,
+                              R_maxc / jnp.maximum(m, 1e-24), 1.0)
+            rgb = rgb * clamp[:, None]
+        rgb = jnp.nan_to_num(rgb, nan=0.0, posinf=0.0, neginf=0.0)
         gw = c.work + R_base
-        p_idx = (gw % R_HW).astype(jnp.int32)
+        p_idx = work_pixel(gw).astype(jnp.int32)
         tgt = jnp.where(done & (gw < R_gtotal), p_idx, R_HW)
         ch_off = jnp.arange(3, dtype=jnp.int32) * (R_HW + 1)   # channel-major
         rgb_m = jnp.where(done[:, None], rgb, 0.0)

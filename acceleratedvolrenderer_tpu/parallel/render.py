@@ -23,6 +23,22 @@ from ..ops import dda
 from ..utils import spectrum as sp
 
 
+def work_stride_for(hw: int) -> int:
+    """Coprime stride for the regen work->pixel permutation (occupancy:
+    each refill batch must mix sky and in-medium pixels — see
+    volpath_fused.work_pixel).  Kept below 2^31/hw so the uint32 modular
+    product cannot overflow; ~golden-ratio fraction of the cap for good
+    spread; gcd(stride, hw) == 1 keeps it a bijection."""
+    if hw <= 4:
+        return 1
+    cap = max((1 << 31) // hw - 1, 1)
+    s = max(int(cap * 0.618), 1) | 1
+    while np.gcd(s, hw) != 1:
+        s += 2
+    # hw-1 is always coprime with hw — safe fallback for tiny frames
+    return int(s) if s < hw else hw - 1
+
+
 def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
     """Build a jitted single-wave render fn: (film, density, sample_idx) ->
     film.
@@ -289,6 +305,7 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
             sigma_a_fn=sigma_a_fn, sigma_s_fn=sigma_s_fn, Le_fn=Le_fn,
             film_rgb=film_rgb,
             max_component=getattr(scene, "max_component", jnp.inf),
+            work_stride=work_stride_for(H * W),
         )
         res = volpath.li(
             med, lights,
