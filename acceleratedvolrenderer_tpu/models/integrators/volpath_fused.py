@@ -201,47 +201,59 @@ def li(
         if regen is None:
             _mat_const = eval_materials(lam)
 
-        # ---- specular surface support (smooth conductor / dielectric /
-        # thin dielectric — reference surface branch cpu/integrators.cpp:
-        # 417-592 via BSDF Sample_f specular cases).  Rough variants and
-        # other kinds keep the Lambertian-albedo approximation.
-        def _is_smooth(m):
+        # ---- specular + rough-microfacet surface support (reference
+        # surface branch cpu/integrators.cpp:417-592 via BSDF Sample_f:
+        # smooth conductor/dielectric/thin = delta cases; rough conductor/
+        # dielectric = Trowbridge-Reitz VNDF lobes with NEE MIS).  Other
+        # material kinds keep the Lambertian-albedo fallback.
+        def _rough_of(m):
             r = getattr(m, "roughness", 0.0)
-            return isinstance(r, (int, float)) and float(r) == 0.0
+            return float(r) if isinstance(r, (int, float)) else 0.3
 
         _k_cond = materials_mod.KIND_CONDUCTOR
         _k_diel = materials_mod.KIND_DIELECTRIC
         _k_thin = materials_mod.KIND_THIN_DIELECTRIC
         spec_list = [p.material.kind in (_k_cond, _k_diel, _k_thin)
-                     and _is_smooth(p.material) for p in opaque]
+                     and _rough_of(p.material) == 0.0 for p in opaque]
+        rough_list = [p.material.kind in (_k_cond, _k_diel)
+                      and _rough_of(p.material) > 0.0 for p in opaque]
         has_spec = any(spec_list)
-        if has_spec:
-            assert regen is None, (
-                "specular surfaces are supported in the wave path (regen "
-                "scenes route through make_wave_renderer)")
-            _cond_py = [s and p.material.kind == _k_cond
-                        for s, p in zip(spec_list, opaque)]
+        has_rough = any(rough_list)
+        _cond_py = [p.material.kind == _k_cond and (s or r) for s, r, p
+                    in zip(spec_list, rough_list, opaque)]
+        if has_spec or has_rough:
             _thin_py = [s and p.material.kind == _k_thin
                         for s, p in zip(spec_list, opaque)]
             spec_mask_arr = jnp.asarray(spec_list)
+            rough_mask_arr = jnp.asarray(rough_list)
             cond_mask_arr = jnp.asarray(_cond_py)
             thin_mask_arr = jnp.asarray(_thin_py)
+            alpha_arr = jnp.asarray([_rough_of(p.material) for p in opaque],
+                                    jnp.float32)
             diel_eta_arr = jnp.asarray(
                 [float(getattr(p.material, "eta", 1.5))
                  if p.material.kind in (_k_diel, _k_thin)
                  and isinstance(getattr(p.material, "eta", 1.5), (int, float))
                  else 1.5 for p in opaque], jnp.float32)
-            # conductor complex IOR spectra at the (constant) wave lam
-            _cond_eta = jnp.stack(
-                [p.material.eta_spectrum(lam) * jnp.ones((N, LANES))
-                 if c else jnp.ones((N, LANES))
-                 for c, p in zip(_cond_py, opaque)])
-            _cond_k = jnp.stack(
-                [p.material.k_spectrum(lam) * jnp.ones((N, LANES))
-                 if c else jnp.zeros((N, LANES))
-                 for c, p in zip(_cond_py, opaque)])
+
+            # conductor complex IOR spectra: constant outside regen;
+            # per-iteration under regen (lanes respawn with new lam)
+            def cond_spectra(lam_cur):
+                eta_s = jnp.stack(
+                    [p.material.eta_spectrum(lam_cur) * jnp.ones((N, LANES))
+                     if c else jnp.ones((N, LANES))
+                     for c, p in zip(_cond_py, opaque)])
+                k_s = jnp.stack(
+                    [p.material.k_spectrum(lam_cur) * jnp.ones((N, LANES))
+                     if c else jnp.zeros((N, LANES))
+                     for c, p in zip(_cond_py, opaque)])
+                return eta_s, k_s
+
+            if regen is None:
+                _cond_const = cond_spectra(lam)
     else:
         has_spec = False
+        has_rough = False
 
     def spectra_for(lam_cur):
         """Per-lane medium spectra — evaluated at spawn time."""
@@ -771,34 +783,58 @@ def li(
             contrib_le = beta * Le_mat / jnp.maximum(denom_first, 1e-30)[:, None]
             L_acc = L_acc + jnp.where(hit_emit[:, None], contrib_le, 0.0)
             # bounce classification (depth-capped like scatters):
-            # diffuse-like -> NEE + cosine bounce; smooth specular ->
+            # diffuse-like -> NEE + cosine bounce; rough microfacet ->
+            # NEE (MIS vs the VNDF lobe) + VNDF bounce; smooth specular ->
             # immediate mirror/refract bounce, no NEE (delta lobes)
-            if has_spec:
+            if has_spec or has_rough:
                 spec_hit = spec_mask_arr[mid]
-                hit_diff = hit_surf & ~is_emissive & ~spec_hit
+                rough_hit = rough_mask_arr[mid]
+                hit_diff = hit_surf & ~is_emissive & ~spec_hit & ~rough_hit
                 hit_spec = hit_surf & ~is_emissive & spec_hit
+                hit_rough = hit_surf & ~is_emissive & rough_hit
             else:
                 hit_diff = hit_surf & ~is_emissive
                 hit_spec = jnp.zeros((N,), bool)
-            over_s = (hit_diff | hit_spec) & (c.depth >= max_depth)
+                hit_rough = jnp.zeros((N,), bool)
+            over_s = (hit_diff | hit_spec | hit_rough) \
+                & (c.depth >= max_depth)
             do_surf = hit_diff & ~over_s
             do_spec = hit_spec & ~over_s
-            depth = depth + jnp.where(do_surf | do_spec, 1, 0)
+            do_rough = hit_rough & ~over_s
+            depth = depth + jnp.where(do_surf | do_spec | do_rough, 1, 0)
         else:
             hit_emit = jnp.zeros((N,), bool)
             over_s = jnp.zeros((N,), bool)
             do_surf = jnp.zeros((N,), bool)
             do_spec = jnp.zeros((N,), bool)
+            do_rough = jnp.zeros((N,), bool)
+
+        # per-hit microfacet parameters (shared by NEE and the bounce)
+        if has_spec or has_rough:
+            from .. import bxdfs as bxdfs_mod
+
+            _ce, _ck = (_cond_const if regen is None
+                        else cond_spectra(c.lam))
+            eta_c_hit = jnp.take_along_axis(_ce, mid[None, :, None],
+                                            axis=0)[0]
+            k_c_hit = jnp.take_along_axis(_ck, mid[None, :, None],
+                                          axis=0)[0]
+            alpha_hit = alpha_arr[mid]
+            eta_m = diel_eta_arr[mid]
+            is_cond_l = cond_mask_arr[mid]
+            # local shading frame on the face-forward normal
+            sbx, sby, sbz = vmu.frame_from_z(n_f)
+            wo_sl = vmu.to_local(sbx, sby, sbz, wo_s)
 
         # =========== NEE SETUP (volume scatter or surface bounce) ===========
         p_scat = c.so + c.t_cur[:, None] * c.sd
         wo = -c.d_main
-        want_nee = do_scatter | do_surf
+        want_nee = do_scatter | do_surf | do_rough
         rng, u1 = pcg_uniform_masked(rng, want_nee)
         rng, u2a = pcg_uniform_masked(rng, want_nee)
         rng, u2b = pcg_uniform_masked(rng, want_nee)
         if has_surf:
-            p_vertex = jnp.where(do_surf[:, None],
+            p_vertex = jnp.where((do_surf | do_rough)[:, None],
                                  p_hit + n_f * _SURF_EPS, p_scat)
         else:
             p_vertex = p_scat
@@ -813,8 +849,29 @@ def li(
             spdf_surf = sg(jnp.maximum(cos_l, 0.0) / jnp.pi)
             f_spec = jnp.where(do_surf[:, None], f_surf, f_hat[:, None])
             spdf_d = jnp.where(do_surf, spdf_surf, f_hat_d)
+            rough_nee_ok = jnp.zeros((N,), bool)
+            if has_rough:
+                # microfacet f * |cos| and pdf toward the light (MIS
+                # companion of the VNDF bounce — bxdfs.h Conductor/
+                # DielectricBxDF f()/PDF() rough cases)
+                wi_nl = vmu.to_local(sbx, sby, sbz, ls.wi)
+                f_c_nee = bxdfs_mod.conductor_f(wo_sl, wi_nl, eta_c_hit,
+                                                k_c_hit, alpha_hit)
+                p_c_nee = bxdfs_mod.conductor_pdf(wo_sl, wi_nl, alpha_hit)
+                f_d_nee = bxdfs_mod.dielectric_f(wo_sl, wi_nl, eta_m,
+                                                 alpha_hit)
+                p_d_nee = bxdfs_mod.dielectric_pdf(wo_sl, wi_nl, eta_m,
+                                                   alpha_hit)
+                f_r_nee = jnp.where(is_cond_l[:, None], f_c_nee, f_d_nee) \
+                    * jnp.abs(wi_nl[..., 2])[:, None]
+                p_r_nee = sg(jnp.where(is_cond_l, p_c_nee, p_d_nee))
+                f_spec = jnp.where(do_rough[:, None], f_r_nee, f_spec)
+                spdf_d = jnp.where(do_rough, p_r_nee, spdf_d)
+                rough_nee_ok = (p_r_nee > 0) & jnp.any(f_r_nee > 0, -1)
             occl = shapes_mod.occluded(opaque, p_vertex, ls.wi, ls.dist)
-            extra_ok = jnp.where(do_surf, cos_l > 0, f_hat_d > 0) & ~occl
+            extra_ok = jnp.where(
+                do_surf, cos_l > 0,
+                jnp.where(do_rough, rough_nee_ok, f_hat_d > 0)) & ~occl
         else:
             f_spec = f_hat[:, None] * jnp.ones((N, LANES))
             spdf_d = f_hat_d
@@ -864,7 +921,8 @@ def li(
         res_surf = resume & c.at_surface if has_surf else jnp.zeros((N,), bool)
         if has_surf:
             # skip_nee surface rays haven't set at_surface yet
-            res_surf = (esc_s & c.at_surface) | (skip_nee & do_surf)
+            res_surf = (esc_s & c.at_surface) | (skip_nee & (do_surf
+                                                            | do_rough))
         rng, u3a = pcg_uniform_masked(rng, resume)
         rng, u3b = pcg_uniform_masked(rng, resume)
         wo2 = -c.d_main
@@ -872,10 +930,13 @@ def li(
         ps_pdf = sg(ps_pdf)
         # beta *= p(theta)/pdf* — forward 1 for HG, carries d log p / d g
         p_theta = phase_ops.hg_phase(wo2, wi, g)
+        trans_rough = jnp.zeros((N,), bool)
         if has_surf:
             # surfaces: cosine-sampled bounce around the stored normal
-            n_res = jnp.where(esc_s[:, None], c.n_surf, c.n_surf)
-            n_rf = vmu.face_forward(n_res, wo2)
+            # (mid / n_f / wo_sl / the microfacet params above all derive
+            # from c.mat_id + c.n_surf, so they are equally valid for
+            # NEE-returning lanes)
+            n_rf = vmu.face_forward(c.n_surf, wo2)
             local = warps.sample_cosine_hemisphere(jnp.stack([u3a, u3b], -1))
             bx, by, bz = vmu.frame_from_z(n_rf)
             wi_surf = vmu.from_local(bx, by, bz, local)
@@ -884,22 +945,53 @@ def li(
             alb_res = jnp.take_along_axis(
                 albedos, jnp.clip(c.mat_id, 0, len(opaque) - 1)[None, :, None],
                 axis=0)[0]
-            wi = jnp.where(res_surf[:, None], wi_surf, wi)
-            ps_pdf = jnp.where(res_surf, pdf_surf, ps_pdf)
+            if has_rough:
+                lane_rough = rough_mask_arr[mid]
+                res_rough = res_surf & lane_rough
+                res_diff = res_surf & ~lane_rough
+            else:
+                res_rough = jnp.zeros((N,), bool)
+                res_diff = res_surf
+            wi = jnp.where(res_diff[:, None], wi_surf, wi)
+            ps_pdf = jnp.where(res_diff, pdf_surf, ps_pdf)
             # f*cos/pdf = albedo for cosine-sampled Lambertian
-            f_over = jnp.where(res_surf[:, None], alb_res,
+            f_over = jnp.where(res_diff[:, None], alb_res,
                                p_theta[:, None] / jnp.maximum(ps_pdf, 1e-30)[:, None])
+            if has_rough:
+                # ---- rough microfacet bounce: Trowbridge-Reitz VNDF
+                # sample of the conductor/dielectric lobe (bxdfs.h
+                # Sample_f rough cases) in the n_rf local frame
+                u2p = jnp.stack([u3a, u3b], -1)
+                rng, u_lb = pcg_uniform_masked(rng, res_rough & ~is_cond_l)
+                bs_c = bxdfs_mod.conductor_sample(wo_sl, u2p, eta_c_hit,
+                                                  k_c_hit, alpha_hit)
+                bs_dl = bxdfs_mod.dielectric_sample(wo_sl, u_lb, u2p,
+                                                    eta_m, alpha_hit)
+                wi_rl = jnp.where(is_cond_l[:, None], bs_c.wi, bs_dl.wi)
+                f_rs = jnp.where(is_cond_l[:, None], bs_c.f, bs_dl.f)
+                pdf_rs = sg(jnp.where(is_cond_l, bs_c.pdf, bs_dl.pdf))
+                ok_rs = jnp.where(is_cond_l, bs_c.pdf > 0,
+                                  bs_dl.pdf > 0)
+                wi_rw = vmu.from_local(sbx, sby, sbz, wi_rl)
+                cos_rs = jnp.abs(wi_rl[..., 2])
+                wi = jnp.where(res_rough[:, None], wi_rw, wi)
+                ps_pdf = jnp.where(res_rough,
+                                   jnp.where(ok_rs, pdf_rs, 0.0), ps_pdf)
+                f_over = jnp.where(
+                    res_rough[:, None],
+                    f_rs * (cos_rs / jnp.maximum(pdf_rs, 1e-30))[:, None],
+                    f_over)
+                # transmitted lanes continue on the far side of the surface
+                trans_rough = res_rough & (wi_rl[..., 2] < 0)
         else:
             f_over = p_theta[:, None] / jnp.maximum(ps_pdf, 1e-30)[:, None]
 
         if has_spec:
             # ---- smooth specular lobes (BSDF Sample_f delta cases,
             # bxdfs.h ConductorBxDF / DielectricBxDF / ThinDielectricBxDF)
-            from .. import bxdfs as bxdfs_mod
-
-            is_cond_l = cond_mask_arr[mid]
+            # (is_cond_l / eta_m / eta_c_hit / k_c_hit shared with the
+            # rough branch, computed at the surface-shading setup)
             is_thin_l = thin_mask_arr[mid]
-            eta_m = diel_eta_arr[mid]
             cos_o = jnp.maximum(vmu.dot(wo_s, n_f), 1e-6)
             wi_mirror = bxdfs_mod.reflect(wo_s, n_f)
             sgn_cos = vmu.dot(wo_s, c.n_surf)     # signed vs outward normal
@@ -913,10 +1005,6 @@ def li(
             refl = is_cond_l | (u_lobe < F_prob) | (~is_thin_l & ~ok_refr)
             wt_dir = jnp.where(is_thin_l[:, None], -wo_s, wt)
             wi_sp = jnp.where(refl[:, None], wi_mirror, wt_dir)
-            eta_c_hit = jnp.take_along_axis(
-                _cond_eta, mid[None, :, None], axis=0)[0]
-            k_c_hit = jnp.take_along_axis(
-                _cond_k, mid[None, :, None], axis=0)[0]
             F_c = bxdfs_mod.fresnel_conductor(cos_o[:, None] *
                                               jnp.ones((N, LANES)),
                                               eta_c_hit, k_c_hit)
@@ -955,12 +1043,19 @@ def li(
         # origin (= the vertex); skip_nee rays from the fresh vertex;
         # specular rays from the side-offset hit point
         if has_surf:
-            p_fresh = jnp.where(do_surf[:, None], p_vertex, p_scat)
+            p_fresh = jnp.where((do_surf | do_rough)[:, None], p_vertex,
+                                p_scat)
             if has_spec:
                 p_fresh = jnp.where(do_spec[:, None], p_spec_o, p_fresh)
         else:
             p_fresh = p_scat
         p_resume = jnp.where(esc_s[:, None], c.so, p_fresh)
+        if has_rough:
+            # transmitted microfacet lanes: the stored/fresh vertex sits
+            # _SURF_EPS on the wo side — move it to the far side
+            p_resume = jnp.where(trans_rough[:, None],
+                                 p_resume - n_rf * (2.0 * _SURF_EPS),
+                                 p_resume)
         d_new = jnp.where((resume & ps_ok)[:, None], wi, c.d_main)
 
         # =========== program counter updates ===========
@@ -989,8 +1084,9 @@ def li(
         c2 = c._replace(
             pc=pc, depth=depth, rng=rng,
             d_main=d_new,
-            at_surface=jnp.where(nee_valid, do_surf if has_surf else False,
-                                 jnp.where(resume, False, c.at_surface)),
+            at_surface=jnp.where(
+                nee_valid, (do_surf | do_rough) if has_surf else False,
+                jnp.where(resume, False, c.at_surface)),
             spec_last=jnp.where(
                 do_spec, True,
                 jnp.where(do_scatter | (resume & ~do_spec), False,
