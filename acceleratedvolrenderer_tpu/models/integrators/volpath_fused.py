@@ -145,9 +145,10 @@ class _Regs(NamedTuple):
     cursor: jnp.ndarray      # scalar int32 next unissued work item
     film_rgb: jnp.ndarray    # (3 * (H*W + 1),) channel-major flat film
     #   (+1 = discard slot per channel).  Flat so the retire splat is ONE
-    #   scalar scatter-add — XLA:TPU handles (3N,) scalar updates ~3x faster
-    #   than (N, 3) row updates.  Per-sample weight is identically 1 (filter
-    #   importance sampling), so weight_sum == spp and needs no scatter.
+    #   scalar scatter-add — measured r1 AND re-measured r3: (3N,) scalar
+    #   updates beat (N, 4) row-windowed updates by ~1.7x end-to-end.
+    #   Per-sample weight is identically 1 (filter importance sampling),
+    #   so weight_sum == spp and needs no scatter.
 
 
 def li(
@@ -171,6 +172,8 @@ def li(
     stochastic_filter: bool = False,
     retire_every: int = 1,
     retire_groups: int = 1,
+    sub_rounds: int = 1,
+    external_loop: bool = False,
 ) -> LiResult:
     N = o.shape[0]
     LANES = lam.shape[-1]
@@ -1221,8 +1224,15 @@ def li(
         # each invocation, which profiling showed dominated the loop; with
         # k_substeps ~ the mean collision interval, events are pending almost
         # every iteration anyway.
-        c = block_substep(c, k_substeps)
-        c = handle_events(c)
+        #
+        # sub_rounds > 1 unrolls several march+event rounds per retire tick
+        # (NOT via lax.cond — plain unroll): the film scatter has a large
+        # FIXED cost per invocation (r3 profile: groups=4 halved its element
+        # count yet ran slower), so amortizing it over multiple event rounds
+        # is the win lax.cond's carry copies denied retire_every.
+        for _ in range(sub_rounds):
+            c = block_substep(c, k_substeps)
+            c = handle_events(c)
         if regen is not None:
             if retire_every > 1:
                 # film splat + respawn every R iterations only.  Measured on
@@ -1236,6 +1246,17 @@ def li(
             else:
                 c = retire_respawn(c)
         return c._replace(n_steps=c.n_steps + 1)
+
+    if external_loop:
+        # host-driven unrolled-chunk mode (see make_regen_renderer): hand
+        # the initial carry + body/cond back to the caller, which runs
+        # UNROLLED chunks of body() in straight-line jitted code.  XLA:TPU
+        # lowers gather/scatter inside lax.while_loop to a serial form
+        # ~200x slower than the vectorized straight-line lowering (r3
+        # profile: the film scatter + density gather were 72% of the loop
+        # at 7ns/element; unrolled they run at ~0.6us/op), so taking the
+        # loop OFF the device is the single biggest perf lever.
+        return regs, body, cond
 
     if record_alive:
         hist0 = jnp.zeros((max_march_steps,), jnp.int32)

@@ -77,13 +77,14 @@ def _gather_rows_mxu(table_ref, flat, n_rows):
     tab = table_ref[:].astype(jnp.bfloat16)          # (R, 128)
     riota = jax.lax.broadcasted_iota(jnp.int32, (_MXU_CHUNK * LANES, n_rows),
                                      1)
-    out = jnp.zeros((m, LANES), jnp.float32)
     n_chunks = m // _MXU_CHUNK
-
-    def body(i, acc):
+    # static unrolled chunks: Mosaic has no dynamic_slice lowering, and the
+    # chunk count is small (m/8 <= 16 at 16384 lanes)
+    outs = []
+    for i in range(n_chunks):
         r0 = i * _MXU_CHUNK
-        rows_c = jax.lax.dynamic_slice(row, (r0, 0), (_MXU_CHUNK, LANES))
-        cols_c = jax.lax.dynamic_slice(col, (r0, 0), (_MXU_CHUNK, LANES))
+        rows_c = row[r0:r0 + _MXU_CHUNK, :]
+        cols_c = col[r0:r0 + _MXU_CHUNK, :]
         onehot = (rows_c.reshape(_MXU_CHUNK * LANES, 1) == riota
                   ).astype(jnp.bfloat16)
         # (CHUNK*128, R) @ (R, 128): each lane's full table row
@@ -92,11 +93,9 @@ def _gather_rows_mxu(table_ref, flat, n_rows):
         # output column holds the wanted value; take column 0
         colsel = jnp.broadcast_to(
             cols_c.reshape(_MXU_CHUNK * LANES, 1), rowvals.shape)
-        vals = jnp.take_along_axis(rowvals, colsel, axis=1)[:, 0]
-        return jax.lax.dynamic_update_slice(
-            acc, vals.reshape(_MXU_CHUNK, LANES), (r0, 0))
-
-    return jax.lax.fori_loop(0, n_chunks, body, out)
+        outs.append(jnp.take_along_axis(rowvals, colsel, axis=1)[:, 0]
+                    .reshape(_MXU_CHUNK, LANES))
+    return jnp.concatenate(outs, axis=0)
 
 
 def _march_kernel(maj_ref,

@@ -211,7 +211,6 @@ def make_sharded_regen_renderer(scene, mesh: Mesh, *, n_lanes: int = 4096,
     from ..models.integrators import volpath_fused as volpath
     from ..ops import dda
     from ..utils import spectrum as sp
-    from .render import work_stride_for as _work_stride
 
     cam = scene.camera
     H, W = cam.height, cam.width
@@ -272,7 +271,7 @@ def make_sharded_regen_renderer(scene, mesh: Mesh, *, n_lanes: int = 4096,
             sigma_a_fn=sigma_a_fn, sigma_s_fn=sigma_s_fn, Le_fn=Le_fn,
             film_rgb=jnp.zeros((3 * (H * W + 1),)),
             max_component=getattr(scene, "max_component", jnp.inf),
-            work_stride=_work_stride(H * W),
+            work_stride=1,   # opt-in (see render.make_regen_renderer)
         )
         res = volpath.li(
             med, scene.lights,

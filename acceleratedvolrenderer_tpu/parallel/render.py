@@ -232,6 +232,9 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
                         stochastic_filter: bool = False,
                         retire_every: int = 1,
                         retire_groups: int = 1,
+                        sub_rounds: int = 1,
+                        unroll: int = 0,
+                        work_stride=1,
                         record_alive: bool = False):
     """Path-regeneration renderer: ONE fused kernel renders the whole
     frame x spp workload at ~full SIMD occupancy.
@@ -291,8 +294,7 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
     refills = (total_work + N - 1) // N
     iter_cap = int(scene.max_march_steps) * (refills + 1)
 
-    @partial(jax.jit, donate_argnums=(2,))
-    def run(density, majorant, film_rgb):
+    def _li(density, majorant, film_rgb, external_loop):
         med = dda.MediumArrays(
             density=density, majorant=majorant,
             w2m=jnp.asarray(med_spec.world_to_unit(), jnp.float32),
@@ -305,9 +307,12 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
             sigma_a_fn=sigma_a_fn, sigma_s_fn=sigma_s_fn, Le_fn=Le_fn,
             film_rgb=film_rgb,
             max_component=getattr(scene, "max_component", jnp.inf),
-            work_stride=work_stride_for(H * W),
+            # measured neutral on the 720p bench (retire throughput is not
+            # the binding constraint — docs/PROFILE_r03.md); opt-in knob
+            work_stride=(work_stride_for(H * W) if work_stride == "auto"
+                         else int(work_stride)),
         )
-        res = volpath.li(
+        return volpath.li(
             med, lights,
             jnp.zeros((N, 3)), jnp.zeros((N, 3)),
             jnp.zeros((N, LANES)), jnp.zeros((N,), jnp.uint32),
@@ -316,8 +321,53 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
             max_march_steps=iter_cap, rgb_mode=med_spec.rgb,
             k_substeps=k_substeps, stochastic_filter=stochastic_filter,
             retire_every=retire_every, retire_groups=retire_groups,
+            sub_rounds=sub_rounds,
             prims=tuple(scene.primitives), regen=regen,
-            record_alive=record_alive)
+            record_alive=record_alive, external_loop=external_loop)
+
+    if unroll > 0 and not record_alive:
+        # ---- host-driven unrolled chunks (the r3 scatter/gather fix):
+        # XLA:TPU's lax.while_loop lowers gather/scatter to a serial
+        # ~7ns/element form; the SAME ops in straight-line jitted code run
+        # ~200x faster (measured 0.6us vs 171us for the film splat).  So
+        # the loop body runs `unroll` times per jitted call and the loop
+        # itself lives on the host, with async dispatch + a small
+        # lookahead so the device never starves.  Estimates agree with the
+        # while-loop driver to fusion-reassociation ulps (~5e-7 observed);
+        # extra post-completion iterations are exact no-ops (all lanes
+        # PC_DONE, work=-1, masked draws don't advance streams).
+        @partial(jax.jit, donate_argnums=(2,))
+        def start_fn(density, majorant, film_rgb):
+            regs, _, _ = _li(density, majorant, film_rgb, True)
+            return regs
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def chunk_fn(density, majorant, regs):
+            _, body, cond_ = _li(density, majorant, regs.film_rgb, True)
+            c = regs
+            for _ in range(unroll):
+                c = body(c)
+            return c, cond_(c)
+
+        max_chunks = iter_cap // unroll + 2
+        lookahead = 4
+
+        def run(density, majorant, film_rgb):
+            regs = start_fn(density, majorant, film_rgb)
+            pending = []
+            for _ in range(max_chunks):
+                regs, busy = chunk_fn(density, majorant, regs)
+                pending.append(busy)
+                if len(pending) > lookahead:
+                    if not bool(pending.pop(0)):
+                        break
+            return regs.film_rgb
+
+        return run, density_const, majorant_const
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def run(density, majorant, film_rgb):
+        res = _li(density, majorant, film_rgb, False)
         if record_alive:
             return res.film_rgb, res.alive_hist
         return res.film_rgb

@@ -1,24 +1,27 @@
-"""Scaling-efficiency harness (VERDICT r1 #8; BASELINE >=85% gate).
+"""Scaling harness — honest sharding-overhead measurement.
 
-Runs the sharded regen renderer at 1/2/4/8 virtual devices at FIXED TOTAL
-WORK and emits efficiency percentages to SCALING_r02.json.
+Two legs on the 1/2/4/8-device virtual CPU mesh (VERDICT r2 weak #2: a
+fixed-total-work "efficiency" on an under-utilized T(1) baseline measures
+thread utilization, not sharding cost):
 
-Metric definition (virtual CPU mesh): total work is FIXED, so with zero
-sharding overhead T(N) <= T(1) (the XLA CPU backend runs each virtual
-device on its own host thread, so N >= 2 additionally engages the second
-core — E(N) = 100 * T(1)/T(N) above 100% reflects that, not
-super-scaling).  What the harness bounds is the sharding overhead that
-real chips would also pay: collective inserts, regen queue fragmentation,
-per-device padding, load imbalance.  The >=85% gate == "no mesh size
-costs more than 15% extra wall time over the unsharded run"; ICI
-transfer costs are validated separately by the driver's dryrun.
+  * STRONG (fixed total work): T(N) vs T(1).  On this host (2 physical
+    cores) T(2) < T(1) reflects the second core, so E(N) = T(1)/T(N) is
+    reported as a *bound on sharding overhead* only — any N whose wall
+    time exceeds T(1) by more than the gate margin indicates real
+    sharding cost (collectives, padding, queue fragmentation).
+  * WEAK (fixed work per device): total work scales with N at fixed
+    per-device lanes/spp.  The honest per-device throughput baseline on a
+    C-core host is C-way capacity: ideal T_weak(N) = T_weak(1) * N / min(N,
+    C).  Reported as capacity-normalized efficiency.
 
-Also asserts cross-device-count agreement: images must match within
-float-accumulation tolerance (3e-5, the test_multichip contract — RNG
-streams key on global work items, not device layout; the film splat
-order differs per layout, so bitwise equality is not expected).
+Collective decomposition: the sharded regen program issues exactly ONE
+cross-device reduction per run (the film psum, parallel/mesh.py:286); its
+cost is measured directly with a shard_map'ed psum of a film-sized array
+and reported as collective_s vs compute_s.  On real TPU hardware the same
+split holds (film psum over ICI is microseconds); the multi-chip program
+itself is validated by the driver's dryrun_multichip.
 
-Usage: python scripts/scaling.py [--out SCALING_r02.json] [--res 160]
+Usage: python scripts/scaling.py [--out SCALING_r03.json] [--res 160]
 """
 import argparse
 import json
@@ -44,46 +47,100 @@ import numpy as np  # noqa: E402
 from jax.sharding import Mesh  # noqa: E402
 
 
+def _best_time(fn, repeats):
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        jax.block_until_ready(fn())
+        best = min(best, time.time() - t0)
+    return best
+
+
+def _psum_cost(mesh, size, axis_name="rays", repeats=5):
+    """Direct cost of the one collective the renderer issues per run."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    x = np.ones((size,), np.float32)
+
+    def red(v):
+        return jax.lax.psum(v, axis_name)
+
+    f = jax.jit(shard_map(red, mesh=mesh, in_specs=P(), out_specs=P(),
+                          check_vma=False))
+    jax.block_until_ready(f(x))   # compile
+    return _best_time(lambda: f(x), repeats)
+
+
 def run(res=160, spp=8, n_lanes=2048, repeats=3, device_counts=(1, 2, 4, 8)):
     from acceleratedvolrenderer_tpu.parallel import mesh as mesh_mod
     from acceleratedvolrenderer_tpu.scene import presets
 
-    scene = presets.sphere_medium(res=res, height=res, spp=spp, max_depth=6)
     devs = jax.devices()
-    results = {}
-    imgs = {}
+    n_cores = os.cpu_count() or 1
+    H = W = res
+
+    # ---- strong leg: fixed total work ----
+    scene = presets.sphere_medium(res=res, height=res, spp=spp, max_depth=6)
+    strong, imgs, coll = {}, {}, {}
     for n in device_counts:
         m = Mesh(np.array(devs[:n]), ("rays",))
         run_fn, density, majorant = mesh_mod.make_sharded_regen_renderer(
             scene, m, n_lanes=max(n_lanes // n, 256), spp=spp)
-        film = run_fn(density, majorant)          # compile + warm
-        jax.block_until_ready(film)
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.time()
-            film = run_fn(density, majorant)
-            jax.block_until_ready(film)
-            best = min(best, time.time() - t0)
-        H = W = res
-        img = (np.asarray(film).reshape(3, H * W + 1)[:, :H * W].T
-               / float(spp)).reshape(H, W, 3)
-        imgs[n] = img
-        results[n] = best
-        print(f"devices={n} best={best:.3f}s "
-              f"rays/s={H * W * spp / best:,.0f}", flush=True)
+        jax.block_until_ready(run_fn(density, majorant))   # compile + warm
+        strong[n] = _best_time(lambda: run_fn(density, majorant), repeats)
+        coll[n] = _psum_cost(m, 3 * (H * W + 1))
+        film = run_fn(density, majorant)
+        imgs[n] = (np.asarray(film).reshape(3, H * W + 1)[:, :H * W].T
+                   / float(spp)).reshape(H, W, 3)
+        print(f"strong devices={n} t={strong[n]:.3f}s "
+              f"psum={coll[n] * 1e3:.2f}ms", flush=True)
 
-    t1 = results[device_counts[0]]
+    # ---- weak leg: fixed work per device (total spp grows with N) ----
+    weak = {}
+    for n in device_counts:
+        m = Mesh(np.array(devs[:n]), ("rays",))
+        scene_w = presets.sphere_medium(res=res, height=res, spp=spp * n,
+                                        max_depth=6)
+        run_fn, density, majorant = mesh_mod.make_sharded_regen_renderer(
+            scene_w, m, n_lanes=max(n_lanes // max(n, 1), 256) * n // n,
+            spp=spp * n)
+        jax.block_until_ready(run_fn(density, majorant))
+        weak[n] = _best_time(lambda: run_fn(density, majorant), repeats)
+        print(f"weak   devices={n} t={weak[n]:.3f}s "
+              f"(work x{n})", flush=True)
+
+    t1 = strong[device_counts[0]]
+    w1 = weak[device_counts[0]]
     out = {
         "scene": f"sphere_medium {res}x{res} spp={spp}",
-        "metric": "fixed-total-work wall time, best of "
-                  f"{repeats} (virtual CPU mesh; E(N)=T(1)/T(N) bounds "
-                  "sharding overhead)",
-        "times_s": {str(n): results[n] for n in device_counts},
-        "efficiency_pct": {str(n): 100.0 * t1 / results[n]
-                           for n in device_counts},
-        "sharding_overhead_pct": {
-            str(n): max(0.0, 100.0 * (results[n] - t1) / t1)
-            for n in device_counts},
+        "host_cores": n_cores,
+        "strong": {
+            "definition": "fixed total work; overhead_pct = extra wall "
+                          "time vs the unsharded run (>0 means sharding "
+                          "costs real time)",
+            "times_s": {str(n): strong[n] for n in device_counts},
+            "sharding_overhead_pct": {
+                str(n): 100.0 * (strong[n] - t1) / t1
+                for n in device_counts},
+        },
+        "weak": {
+            "definition": "fixed work PER device; capacity-normalized "
+                          "efficiency = (w1 * N / min(N, cores)) / T(N) "
+                          "(100% = scales to host capacity with no "
+                          "sharding cost)",
+            "times_s": {str(n): weak[n] for n in device_counts},
+            "capacity_norm_efficiency_pct": {
+                str(n): 100.0 * (w1 * n / min(n, n_cores)) / weak[n]
+                for n in device_counts},
+        },
+        "collective": {
+            "definition": "direct cost of the one film psum per run "
+                          "(parallel/mesh.py:286) vs total step time",
+            "psum_s": {str(n): coll[n] for n in device_counts},
+            "collective_fraction_pct": {
+                str(n): 100.0 * coll[n] / strong[n] for n in device_counts},
+        },
         "images_agree_3e5": all(
             bool(np.allclose(imgs[device_counts[0]], imgs[n], atol=3e-5))
             for n in device_counts[1:]),
@@ -93,7 +150,7 @@ def run(res=160, spp=8, n_lanes=2048, repeats=3, device_counts=(1, 2, 4, 8)):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SCALING_r02.json")
+    ap.add_argument("--out", default="SCALING_r03.json")
     ap.add_argument("--res", type=int, default=160)
     ap.add_argument("--spp", type=int, default=8)
     args = ap.parse_args(argv)
@@ -101,9 +158,12 @@ def main(argv=None):
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
-    eff8 = out["efficiency_pct"].get("8")
-    if eff8 is not None and eff8 < 85.0:
-        print(f"WARNING: 8-device efficiency {eff8:.1f}% below the 85% gate")
+    worst = max(out["strong"]["sharding_overhead_pct"].values())
+    if worst > 15.0:
+        print(f"WARNING: sharding overhead {worst:.1f}% exceeds 15%")
+        return 1
+    if not out["images_agree_3e5"]:
+        print("WARNING: cross-device images disagree")
         return 1
     return 0
 

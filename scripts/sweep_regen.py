@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--ksub", type=int, nargs="*", default=None)
     ap.add_argument("--groups", type=int, nargs="*", default=None)
     ap.add_argument("--majres", type=int, nargs="*", default=None)
+    ap.add_argument("--rounds", type=int, nargs="*", default=None)
     ap.add_argument("--spp", type=int, default=2)
     args = ap.parse_args()
 
@@ -39,9 +40,10 @@ def main():
     ksub_opts = args.ksub or [4, 8, 16]
     group_opts = args.groups or [2]
     maj_opts = args.majres or [16]
+    round_opts = args.rounds or [1]
 
-    for mr, n_lanes, ksub, groups in itertools.product(
-            maj_opts, lanes_opts, ksub_opts, group_opts):
+    for mr, n_lanes, ksub, groups, rounds in itertools.product(
+            maj_opts, lanes_opts, ksub_opts, group_opts, round_opts):
         import dataclasses
 
         scene = presets.cloud(width=W, height=H, spp=spp, max_depth=16)
@@ -51,7 +53,8 @@ def main():
                 scene.medium, majorant_res=(mr, mr, mr))
         run, density, majorant = render_mod.make_regen_renderer(
             scene, spp=spp, n_lanes=n_lanes, k_substeps=ksub,
-            stochastic_filter=True, retire_groups=groups)
+            stochastic_filter=True, retire_groups=groups,
+            sub_rounds=rounds)
         film0 = jnp.zeros((3 * (H * W + 1),))
         t0 = time.time()
         film = run(density, majorant, film0)
@@ -65,7 +68,7 @@ def main():
             best = min(best, time.time() - t0)
         mrays = W * H * spp / best / 1e6
         print(f"maj={mr:3d} lanes={n_lanes:6d} ksub={ksub:3d} "
-              f"groups={groups} -> {mrays:7.3f} Mrays/s "
+              f"groups={groups} rounds={rounds} -> {mrays:7.3f} Mrays/s "
               f"(steady {best:.3f}s, first {compile_and_first:.1f}s)",
               flush=True)
 
