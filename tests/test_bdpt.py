@@ -110,3 +110,44 @@ def test_bdpt_weighted_total_matches_volpath_dense():
     cb, cf = lum(img_b).mean(), lum(img_f).mean()
     assert cb > 0 and cf > 0
     assert abs(cb - cf) / cf < 0.12, (cb, cf)
+
+
+def test_bdpt_surface_vertices_vs_path():
+    """General-BDPT surface vertices (cpu/integrators.cpp:1562-2433):
+    a diffuse floor in a THIN medium lit by a distant light — BDPT's
+    weighted total must statistically match the li_path surface
+    integrator (medium nearly transparent, so the image is dominated by
+    surface transport: camera->floor->light and the t=1/connection
+    strategies must MIS-combine to the same answer)."""
+    from acceleratedvolrenderer_tpu.models.materials import DiffuseMaterial
+    from acceleratedvolrenderer_tpu.models.shapes import Quad
+    from acceleratedvolrenderer_tpu.parallel import render as render_mod
+
+    floor = Quad(origin=np.array([-4.0, 0.05, -4.0]),
+                 e1=np.array([8.0, 0.0, 0.0]), e2=np.array([0.0, 0.0, 8.0]),
+                 material=DiffuseMaterial(reflectance=flat(0.6)))
+    med = homogeneous_box(flat(0.0), flat(0.01), lo=(-2, 0, -2),
+                          hi=(2, 2, 2))
+    cam = PerspectiveCamera(
+        c2w=vm.look_at((0.0, 1.2, -2.6), (0.0, 0.3, 0.0), (0, 1, 0)),
+        fov_deg=40.0, width=10, height=10)
+    scene = Scene(
+        camera=cam, medium=med,
+        lights=[lm.DistantLight(direction=np.array([0.2, -1.0, 0.1]),
+                                spectrum=flat(3.0), scene_radius=20.0)],
+        primitives=[floor], max_depth=4, filter=BoxFilter(), spp=64,
+        scene_radius=20.0)
+
+    img_b, _, strat = bdpt.render_bdpt(scene, max_depth=4, spp=96,
+                                       keep_strategies=True)
+    scene.integrator = "path"
+    img_p, _ = render_mod.render(scene)
+    a, b = lum(np.asarray(img_b)), lum(np.asarray(img_p))
+    rel = abs(a.mean() - b.mean()) / max(b.mean(), 1e-9)
+    assert rel < 0.08, (a.mean(), b.mean())
+    # surface transport must actually flow through light-subpath surface
+    # vertices: at least one s>=2 or t=1 strategy is nonzero
+    multi = [k for k in strat
+             if not isinstance(k[0], str) and k[0] >= 2
+             and np.asarray(strat[k]).sum() > 0]
+    assert multi, "no light-subpath strategies contributed"
