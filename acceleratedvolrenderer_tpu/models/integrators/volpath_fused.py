@@ -174,6 +174,7 @@ def li(
     retire_groups: int = 1,
     sub_rounds: int = 1,
     external_loop: bool = False,
+    light_strategy: str = "uniform",
 ) -> LiResult:
     N = o.shape[0]
     LANES = lam.shape[-1]
@@ -841,8 +842,12 @@ def li(
                                  p_hit + n_f * _SURF_EPS, p_scat)
         else:
             p_vertex = p_scat
+        # light-sampler strategy plumbed from the scene (uniform / power /
+        # bvh adaptive — lightsamplers.h; reference volpath defaults to
+        # BVH sampling, cpu/integrators.h:266)
         ls, is_delta = lights_mod.sample_one_light(
-            lights, p_vertex, u1, jnp.stack([u2a, u2b], -1), c.lam
+            lights, p_vertex, u1, jnp.stack([u2a, u2b], -1), c.lam,
+            strategy=light_strategy,
         )
         f_hat = phase_ops.hg_phase(wo, ls.wi, g)   # differentiable in g
         f_hat_d = sg(phase_ops.hg_phase(wo, ls.wi, g_samp))  # pdf role

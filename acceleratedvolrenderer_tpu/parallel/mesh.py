@@ -282,7 +282,8 @@ def make_sharded_regen_renderer(scene, mesh: Mesh, *, n_lanes: int = 4096,
             max_march_steps=iter_cap, rgb_mode=med_spec.rgb,
             k_substeps=k_substeps, stochastic_filter=stochastic_filter,
             retire_groups=retire_groups,
-            prims=tuple(scene.primitives), regen=regen)
+            prims=tuple(scene.primitives), regen=regen,
+            light_strategy=getattr(scene, "light_sampler", "uniform"))
         # the one cross-device reduction: film partials over ICI
         return jax.lax.psum(res.film_rgb, axis_name)
 

@@ -154,6 +154,7 @@ def make_wave_renderer(scene, *, rays_per_wave: Optional[int] = None):
                 max_march_steps=scene.max_march_steps,
                 rgb_mode=med_spec.rgb,
                 prims=tuple(scene.primitives),
+                light_strategy=getattr(scene, "light_sampler", "uniform"),
             )
             L = res.L
         elif scene.primitives:
@@ -323,6 +324,7 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
             retire_every=retire_every, retire_groups=retire_groups,
             sub_rounds=sub_rounds,
             prims=tuple(scene.primitives), regen=regen,
+            light_strategy=getattr(scene, "light_sampler", "uniform"),
             record_alive=record_alive, external_loop=external_loop)
 
     if unroll > 0 and not record_alive:
