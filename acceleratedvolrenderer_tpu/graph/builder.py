@@ -310,7 +310,17 @@ def merge_paths_to_graph(pts: np.ndarray, valid: np.ndarray, radius: float,
     nearest-within-radius merge — the reference's dynamic-KD-tree insertion
     semantics exactly (free_graph_builder.cpp:99-117), via the C++ grid-
     hash kernel (native.merge_points).  Fallback: voxel-hash quantization
-    (cell size = node radius), order-independent but cell-quantized."""
+    (cell size = node radius), order-independent but cell-quantized.
+
+    Crossover (measured r3, 2-core host): the exact sequential kernel is
+    ~0.1 s at 1e5 points, 0.9 s at 5e5, 5.4 s at 2e6 vs 0.02/0.10/1.7 s
+    for the batched voxel-hash — i.e. the host-sequential path costs
+    ~3-8x and scales linearly, acceptable for the evaluation-scale graphs
+    (<= 1e5 scatter points per reinforcement round).  Precomputes beyond
+    ~1e6 points per round should pass exact=False and accept the
+    cell-quantized merge (the GraphIntegrator's radius-escalation lookup
+    tolerates the coarser vertices; render parity is gated statistically
+    either way)."""
     from .. import native
 
     B, D, _ = pts.shape
