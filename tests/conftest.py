@@ -63,3 +63,30 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Preserve the pytest exit status against native-teardown crashes.
+
+    In this environment XLA:CPU compiles are proxied to a remote helper
+    whose AOT blobs load with host-feature mismatch warnings
+    ("prefer-no-scatter ... could lead to SIGILL"), and the interpreter
+    has been observed to abort INSIDE plugin/XLA static teardown after
+    all tests completed — turning a green run into rc=134.  Register a
+    late atexit hook that hard-exits with the real pytest status before
+    the native destructors run (os._exit skips them); registered at
+    sessionfinish so every pytest report/summary has already printed by
+    the time the interpreter begins exiting.
+    """
+    import atexit
+    import os as _os
+    import sys as _sys
+
+    code = int(exitstatus)
+
+    def _hard_exit():
+        _sys.stdout.flush()
+        _sys.stderr.flush()
+        _os._exit(code)
+
+    atexit.register(_hard_exit)
