@@ -484,3 +484,28 @@ class BilerpTexture:
         v = jnp.clip(uv[..., 1], 0.0, 1.0)
         return ((1 - u) * (1 - v) * self.v00 + (1 - u) * v * self.v01
                 + u * (1 - v) * self.v10 + u * v * self.v11)
+
+
+@dataclass(frozen=True)
+class Checkerboard3DTexture:
+    """Solid 3D checker over texture-space position (pbrt
+    CheckerboardTexture with "integer dimension" 3, textures.h:386):
+    parity of the floor()ed texture-space coordinates selects tex1/tex2.
+    Positional — needs the hit point (falls back to uv-lifted positions
+    via _xform_p when unavailable)."""
+    tex1: object
+    tex2: object
+    texture_from_render: Optional[tuple] = None
+
+    def eval_ctx(self, uv, p=None, n=None):
+        pt = _xform_p(self.texture_from_render, p, uv)
+        c = jnp.floor(pt).astype(jnp.int32)
+        odd = ((c[..., 0] + c[..., 1] + c[..., 2]) % 2) != 0
+        a = eval_texture(self.tex1, uv, p=p, n=n)
+        b = eval_texture(self.tex2, uv, p=p, n=n)
+        if a.ndim > odd.ndim:
+            odd = odd[..., None]
+        return jnp.where(odd, b, a)
+
+    def eval(self, uv):
+        return self.eval_ctx(uv)
