@@ -399,9 +399,29 @@ def li_path(
             u_r = src.next(is_ss)
             u_phi = src.next(is_ss)
             n_entry = vmu.face_forward(hit.n, wo)
-            exit_p, exit_n, w_rgb, _found = bssrdf_mod.sample_exit(
-                opaque, mid, p_hit, n_entry, prm["ss_albedo"],
-                prm["ss_ell"], u_ch, u_r, u_phi)
+            # profile family: the reference's tabulated beam-diffusion
+            # profile when any subsurface material opts in (one table per
+            # scene — multiple differing profiles fall back to burley)
+            _ss_mats = [pp.material for pp in opaque
+                        if getattr(pp.material, "kind", 0)
+                        == materials_mod.KIND_SUBSURFACE]
+            _tabulated = (len(_ss_mats) == 1
+                          and getattr(_ss_mats[0], "profile", "burley")
+                          == "tabulated")
+            if _tabulated:
+                m0 = _ss_mats[0]
+                table = bssrdf_mod.compute_beam_diffusion_table(
+                    g=float(getattr(m0, "g", 0.0)), eta=float(m0.eta))
+                tab = bssrdf_mod.tabulated_channel_arrays(
+                    table, np.asarray(m0.reflectance_rgb),
+                    np.asarray(m0.mfp_rgb))
+                exit_p, exit_n, w_rgb, _found = \
+                    bssrdf_mod.sample_exit_tabulated(
+                        opaque, mid, p_hit, n_entry, tab, u_ch, u_r, u_phi)
+            else:
+                exit_p, exit_n, w_rgb, _found = bssrdf_mod.sample_exit(
+                    opaque, mid, p_hit, n_entry, prm["ss_albedo"],
+                    prm["ss_ell"], u_ch, u_r, u_phi)
             cos_o = jnp.abs(vmu.dot(n_entry, wo))
             f_o = bxdfs.fresnel_dielectric(cos_o, prm["eta_d"])
             w_spec = _spu.rgb_to_spectrum_smits_batched(

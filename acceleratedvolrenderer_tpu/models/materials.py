@@ -222,6 +222,10 @@ class SubsurfaceMaterial:
     reflectance_rgb: tuple = (0.5, 0.5, 0.5)
     mfp_rgb: tuple = (0.01, 0.01, 0.01)
     eta: float = 1.33
+    #: "burley" = normalized diffusion; "tabulated" = the reference's
+    #: photon-beam-diffusion table (bssrdf.compute_beam_diffusion_table)
+    profile: str = "burley"
+    g: float = 0.0
     emission: Optional[Callable] = None
     emission_scale: float = 1.0
 

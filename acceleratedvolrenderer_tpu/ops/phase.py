@@ -57,3 +57,13 @@ def sample_hg(wo, u, g):
     wi = vm.from_local(x, y, z, wl)
     pdf = hg_p(cos_theta, g)
     return wi, pdf
+
+
+def hg_phase_scalar_np(cos_theta, g):
+    """Numpy HG phase value by cos(theta) — table-bake helper
+    (util/scattering.h HenyeyGreenstein)."""
+    import numpy as np
+
+    denom = 1 + g * g + 2 * g * np.asarray(cos_theta)
+    return (1 - g * g) / (4 * np.pi * np.maximum(denom, 1e-9)
+                          * np.sqrt(np.maximum(denom, 1e-9)))
