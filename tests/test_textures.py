@@ -126,3 +126,48 @@ def test_eval_texture_dispatch():
                                tx.ConstantTexture(0.0))
     # without a normal the mix defaults to tex1 (amt=1)
     assert np.allclose(np.asarray(tx.eval_texture(d, uv)), 1.0)
+
+
+def test_mapped_texture_nested_without_hit_position():
+    """ADVICE r2 #1 regression: a spherical/planar-mapped texture nested
+    inside Checkerboard/Mix/Scale (whose child eval drops the hit
+    context), or evaluated with p=None (the fused constant-parameter
+    path), must not crash — it falls back to uv-lifted positions."""
+    import jax.numpy as jnp
+
+    from acceleratedvolrenderer_tpu.models import textures as tex
+
+    uv = jnp.asarray(np.random.default_rng(0).random((16, 2)), jnp.float32)
+    mapped = tex.MappedTexture(base=tex.ConstantTexture(0.7),
+                               mapping=tex.SphericalMapping())
+    for parent in (tex.CheckerboardTexture(mapped, tex.ConstantTexture(0.2)),
+                   tex.MixTexture(mapped, tex.ConstantTexture(0.1)),
+                   tex.ScaleTexture(mapped, 2.0)):
+        out = np.asarray(parent.eval(uv))          # p=None path
+        assert np.isfinite(out).all()
+    # direct p=None eval of every positional mapping
+    for mp in (tex.SphericalMapping(), tex.CylindricalMapping(),
+               tex.PlanarMapping(), tex.PointTransformMapping()):
+        st = np.asarray(mp.map(uv, None))
+        assert np.isfinite(st).all()
+    # with a real hit position the mapping uses it
+    p = jnp.asarray(np.random.default_rng(1).random((16, 3)), jnp.float32)
+    a = np.asarray(tex.SphericalMapping().map(uv, p))
+    b = np.asarray(tex.SphericalMapping().map(uv, None))
+    assert not np.allclose(a, b)
+
+
+def test_checkerboard3d():
+    """Solid 3D checker (textures.h dimension=3): parity of floored
+    texture-space coords; positional."""
+    import jax.numpy as jnp
+
+    from acceleratedvolrenderer_tpu.models import textures as tex
+
+    t = tex.Checkerboard3DTexture(tex.ConstantTexture(1.0),
+                                  tex.ConstantTexture(0.0))
+    uv = jnp.zeros((4, 2))
+    p = jnp.asarray([[0.5, 0.5, 0.5], [1.5, 0.5, 0.5],
+                     [1.5, 1.5, 0.5], [0.2, 0.1, 1.9]], jnp.float32)
+    out = np.asarray(t.eval_ctx(uv, p=p))
+    np.testing.assert_allclose(out, [1.0, 0.0, 1.0, 0.0])
