@@ -65,7 +65,14 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+_SESSION_STATUS = {"code": 0}
+
+
 def pytest_sessionfinish(session, exitstatus):
+    _SESSION_STATUS["code"] = int(exitstatus)
+
+
+def pytest_unconfigure(config):
     """Preserve the pytest exit status against native-teardown crashes.
 
     In this environment XLA:CPU compiles are proxied to a remote helper
@@ -82,11 +89,13 @@ def pytest_sessionfinish(session, exitstatus):
     import os as _os
     import sys as _sys
 
-    code = int(exitstatus)
+    code = _SESSION_STATUS["code"]
 
     def _hard_exit():
         _sys.stdout.flush()
         _sys.stderr.flush()
         _os._exit(code)
 
+    # registered at unconfigure time — pytest has printed its final
+    # summary by now, so the hard exit only preempts native teardown
     atexit.register(_hard_exit)
