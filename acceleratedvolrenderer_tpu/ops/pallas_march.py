@@ -75,26 +75,30 @@ def _gather_rows_mxu(table_ref, flat, n_rows):
     col = flat & 127
     m = flat.shape[0]
     tab = table_ref[:].astype(jnp.bfloat16)          # (R, 128)
-    riota = jax.lax.broadcasted_iota(jnp.int32, (_MXU_CHUNK * LANES, n_rows),
-                                     1)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (LANES, n_rows), 1)
     n_chunks = m // _MXU_CHUNK
-    # static unrolled chunks: Mosaic has no dynamic_slice lowering, and the
-    # chunk count is small (m/8 <= 16 at 16384 lanes)
+    # Mosaic lowers neither dynamic_slice nor lane->sublane reshapes
+    # inside kernels (probed r3), but (8,128)<->(128,8) transposes and
+    # sublane-column one-hots DO lower: move the per-lane indices into
+    # the sublane dimension via transpose, then one matmul per column.
     outs = []
     for i in range(n_chunks):
         r0 = i * _MXU_CHUNK
-        rows_c = row[r0:r0 + _MXU_CHUNK, :]
-        cols_c = col[r0:r0 + _MXU_CHUNK, :]
-        onehot = (rows_c.reshape(_MXU_CHUNK * LANES, 1) == riota
-                  ).astype(jnp.bfloat16)
-        # (CHUNK*128, R) @ (R, 128): each lane's full table row
-        rowvals = jnp.dot(onehot, tab, preferred_element_type=jnp.float32)
-        # lane-column select: index array constant along axis 1, so every
-        # output column holds the wanted value; take column 0
-        colsel = jnp.broadcast_to(
-            cols_c.reshape(_MXU_CHUNK * LANES, 1), rowvals.shape)
-        outs.append(jnp.take_along_axis(rowvals, colsel, axis=1)[:, 0]
-                    .reshape(_MXU_CHUNK, LANES))
+        rows_t = row[r0:r0 + _MXU_CHUNK, :].T        # (128, 8)
+        cols_t = col[r0:r0 + _MXU_CHUNK, :].T        # (128, 8)
+        cols_chunk = []
+        for c in range(_MXU_CHUNK):
+            onehot = (rows_t[:, c:c + 1] == riota).astype(jnp.bfloat16)
+            # (128, R) @ (R, 128): each lane's full table row
+            rowvals = jnp.dot(onehot, tab,
+                              preferred_element_type=jnp.float32)
+            # lane-column select: index constant along axis 1, so every
+            # output column holds the wanted value; take column 0
+            colsel = jnp.broadcast_to(cols_t[:, c:c + 1], rowvals.shape)
+            cols_chunk.append(
+                jnp.take_along_axis(rowvals, colsel, axis=1)[:, 0:1])
+        vals_t = jnp.concatenate(cols_chunk, axis=1)  # (128, 8)
+        outs.append(vals_t.T)                         # (8, 128)
     return jnp.concatenate(outs, axis=0)
 
 
@@ -209,12 +213,29 @@ def _march_call(static_cfg, n_rows, m, maj2d, planes_f, planes_i, hunt):
     from jax.experimental.pallas import tpu as pltpu
 
     K, rx, ry, rz = static_cfg
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     f32 = jnp.float32
     i32 = jnp.int32
+    if n_rows > _ROW_SELECT_MAX:
+        # MXU-gather tables: grid over lane chunks so Mosaic reuses the
+        # per-chunk one-hot/rowvals VMEM (the fully-unrolled kernel's
+        # scoped stack OOMs at 100MB for 64^3 tables at K=12)
+        grid = (m // _MXU_CHUNK,)
+        lane_spec = pl.BlockSpec((_MXU_CHUNK, LANES), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        tab_spec = pl.BlockSpec((n_rows, LANES), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        blk = _MXU_CHUNK
+    else:
+        grid = (1,)
+        lane_spec = pl.BlockSpec((m, LANES), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        tab_spec = pl.BlockSpec((n_rows, LANES), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        blk = m
     outs = pl.pallas_call(
         functools.partial(_march_kernel, K=K, n_rows=n_rows,
                           rx=rx, ry=ry, rz=rz),
+        grid=grid,
         out_shape=[
             jax.ShapeDtypeStruct((m, LANES), i32),   # vx
             jax.ShapeDtypeStruct((m, LANES), i32),   # vy
@@ -228,8 +249,8 @@ def _march_call(static_cfg, n_rows, m, maj2d, planes_f, planes_i, hunt):
             jax.ShapeDtypeStruct((m, LANES), f32),   # maxd
             jax.ShapeDtypeStruct((m, LANES), i32),   # flags
         ],
-        in_specs=[vmem] * 19,
-        out_specs=[vmem] * 11,
+        in_specs=[tab_spec] + [lane_spec] * 18,
+        out_specs=[lane_spec] * 11,
     )(maj2d, *planes_i[:3], *planes_f[:3], *planes_f[3:6],
       *planes_i[3:6], *planes_f[6:10], planes_f[10], hunt)
     return outs
