@@ -180,9 +180,18 @@ def render_sharded(scene, mesh: Optional[Mesh] = None, spp: Optional[int] = None
     H, W = scene.height, scene.width
     render_wave, density, majorant = make_sharded_wave_renderer(scene, mesh)
     film = Film.create(H, W)
+    # on the virtual CPU mesh, bound the cross-device dispatch skew: XLA:CPU
+    # in-process collectives hard-abort when a rendezvous participant lags
+    # 40s behind the first arrival (rendezvous.cc), and a deep async queue
+    # of per-wave psum programs on an oversubscribed host accumulates
+    # exactly that skew (r3 root cause of the flaky rc=134 suite crashes).
+    # Real TPU meshes pipeline fine; sync every wave only on CPU.
+    sync_each = jax.default_backend() == "cpu"
     t0 = time.time()
     for s in range(spp):
         film = render_wave(film, density, majorant, s)
+        if sync_each:
+            jax.block_until_ready(film)
     jax.block_until_ready(film)
     dt = time.time() - t0
     img = np.asarray(film.to_image())
