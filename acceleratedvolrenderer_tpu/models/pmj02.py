@@ -113,8 +113,6 @@ def blue_noise_texture(res: int = 64, seed: int = 0,
     rng = np.random.default_rng(seed)
     n = res * res
 
-    fy = np.fft.fftfreq(res)[:, None] * res
-    fx = np.fft.fftfreq(res)[None, :] * res
     # toroidal Gaussian kernel in Fourier space
     yy = np.minimum(np.abs(np.arange(res)), res - np.abs(np.arange(res)))
     ky = np.exp(-yy ** 2 / (2 * sigma * sigma))
