@@ -149,6 +149,13 @@ class _Regs(NamedTuple):
     #   updates beat (N, 4) row-windowed updates by ~1.7x end-to-end.
     #   Per-sample weight is identically 1 (filter importance sampling),
     #   so weight_sum == spp and needs no scatter.
+    # accum_spp mode only ((1,)/(1,3) dummies otherwise): a work item is a
+    # PIXEL; all its spp samples run back-to-back in-lane, banking each
+    # sample's rgb into registers, and the film splat fires once per pixel
+    # instead of once per sample — the r4 fix for the film scatter-add
+    # being 43% of loop time at ~7ns/element (docs/PROFILE_r03.md)
+    samp: jnp.ndarray        # (N,) int32 current sample; spp = all banked
+    rgb_acc: jnp.ndarray     # (N, 3) accumulated rgb of banked samples
 
 
 def li(
@@ -173,6 +180,7 @@ def li(
     retire_every: int = 1,
     retire_groups: int = 1,
     sub_rounds: int = 1,
+    accum_spp: bool = False,
     external_loop: bool = False,
     light_strategy: str = "uniform",
 ) -> LiResult:
@@ -376,6 +384,22 @@ def li(
         # stay keyed by (pixel, sample), so images are stride-invariant
         # up to film-add order.
         R_stride = int(regen.get("work_stride", 1))
+        if accum_spp:
+            # a work item is one PIXEL (all spp samples run in-lane);
+            # work ids / cursor / sharding offsets live in pixel units
+            assert retire_every == 1, "accum_spp requires retire_every == 1"
+            assert R_total % R_spp == 0, "accum_spp: total_work % spp != 0"
+            R_items = R_total // R_spp
+            R_gitems = int(R_gtotal) // R_spp
+            if isinstance(R_base, int):
+                assert R_base % R_spp == 0
+                R_ibase = R_base // R_spp
+            else:
+                R_ibase = (R_base // jnp.int32(R_spp)).astype(jnp.int32)
+        else:
+            R_items = R_total
+            R_gitems = R_gtotal
+            R_ibase = R_base
 
         def work_pixel(gw):
             p_raw = (gw % R_HW).astype(jnp.uint32)
@@ -383,13 +407,19 @@ def li(
                 return p_raw
             return (p_raw * jnp.uint32(R_stride)) % jnp.uint32(R_HW)
 
-        def spawn(work):
+        def spawn(work, samp=None):
             """Camera ray + wavelengths + rng stream for work items.
 
             Streams match the chunked driver exactly: film_sample keyed by
-            (pixel, sample), wavelength draw from the advanced stream."""
-            gw = work + R_base
-            s_idx = (gw // R_HW).astype(jnp.uint32)
+            (pixel, sample), wavelength draw from the advanced stream — in
+            accum_spp mode the sample index comes from the per-lane samp
+            register instead of the work id, so every (pixel, sample)
+            estimate stays bitwise identical across modes."""
+            gw = work + R_ibase
+            if accum_spp:
+                s_idx = jnp.asarray(samp, jnp.uint32)
+            else:
+                s_idx = (gw // R_HW).astype(jnp.uint32)
             p_idx = work_pixel(gw)
             x = (p_idx % R_W).astype(jnp.int32)
             y = (p_idx // R_W).astype(jnp.int32)
@@ -404,16 +434,21 @@ def li(
             return o_s, d_s, swl.lam, swl.pdf, rng_s, p_idx
 
         work0 = jnp.arange(N, dtype=jnp.int32)
-        valid0 = work0 < R_total
-        o, d, lam, lam_pdf0, rng, _ = spawn(jnp.minimum(work0, R_total - 1))
+        valid0 = work0 < R_items
+        o, d, lam, lam_pdf0, rng, _ = spawn(
+            jnp.minimum(work0, R_items - 1), jnp.zeros((N,), jnp.int32))
         work_init = jnp.where(valid0, work0, -1)
-        cursor_init = jnp.int32(min(N, R_total))
+        cursor_init = jnp.int32(min(N, R_items))
         film_rgb0 = regen["film_rgb"]
     else:
         lam_pdf0 = jnp.ones((N, LANES), f32)
         work_init = jnp.zeros((1,), jnp.int32)
         cursor_init = jnp.int32(0)
         film_rgb0 = jnp.zeros((1,), f32)
+    samp_init = (jnp.zeros((N,), jnp.int32) if (regen is not None and accum_spp)
+                 else jnp.zeros((1,), jnp.int32))
+    rgb_acc_init = (jnp.zeros((N, 3), f32) if (regen is not None and accum_spp)
+                    else jnp.zeros((1, 3), f32))
 
     s_t0, s_a0, s_s0, s_le0 = spectra_for(lam)
 
@@ -459,6 +494,7 @@ def li(
         n_steps=jnp.int32(0),
         work=work_init, cursor=cursor_init,
         film_rgb=film_rgb0,
+        samp=samp_init, rgb_acc=rgb_acc_init,
     )
     regs, _ = init_segment(o, d, jnp.full((N,), jnp.inf, f32), rng,
                            jnp.ones((N,), bool) if regen is None else valid0,
@@ -1209,6 +1245,102 @@ def li(
                             can, c, need_main=can)
         return c
 
+    def retire_respawn_accum(c: _Regs) -> _Regs:
+        """accum_spp retire stage: bank each finished sample's rgb into
+        registers (dense ops, no scatter), immediately run the next sample
+        of the SAME pixel in-lane, and splat/refill only once all spp
+        samples are banked.  The film scatter-add — 43% of loop time at
+        ~7ns/element (docs/PROFILE_r03.md) — shrinks from one splat per
+        sample to one per pixel, and retire_groups can rise spp-fold
+        before retirement capacity binds.  Every (pixel, sample) estimate
+        is bitwise identical to the per-sample mode (same film_sample
+        streams); only film-add order/associativity differs."""
+        # ---- bank the just-finished sample (exactly once: samp < spp) ----
+        fresh = (c.pc == PC_DONE) & (c.work >= 0) & (c.samp < R_spp)
+        swl = _spu.SampledWavelengths(c.lam, c.lam_pdf)
+        rgb = _cspace.xyz_to_rgb(_spu.to_xyz(c.L, swl))
+        try:
+            _maxc_finite = np.isfinite(float(R_maxc))
+        except TypeError:        # traced value: keep the clamp
+            _maxc_finite = True
+        if _maxc_finite:
+            m = jnp.max(rgb, axis=-1)
+            clamp = jnp.where(m > R_maxc,
+                              R_maxc / jnp.maximum(m, 1e-24), 1.0)
+            rgb = rgb * clamp[:, None]
+        rgb = jnp.nan_to_num(rgb, nan=0.0, posinf=0.0, neginf=0.0)
+        rgb_acc = c.rgb_acc + jnp.where(fresh[:, None], rgb, 0.0)
+        samp = c.samp + jnp.where(fresh, 1, 0)
+
+        # ---- splat fully-banked pixels (group-gated) ----
+        ready = (c.pc == PC_DONE) & (c.work >= 0) & (samp >= R_spp)
+        retire = ready
+        if retire_groups > 1:
+            grp_sz = N // retire_groups
+            g = jnp.remainder(c.n_steps, retire_groups)
+            active = (jnp.arange(N, dtype=jnp.int32) // grp_sz) == g
+            retire = ready & active
+        gw = c.work + R_ibase
+        p_idx = work_pixel(gw).astype(jnp.int32)
+        tgt = jnp.where(retire & (gw < R_gitems), p_idx, R_HW)
+        ch_off = jnp.arange(3, dtype=jnp.int32) * (R_HW + 1)
+        acc_m = jnp.where(retire[:, None], rgb_acc, 0.0)
+        if retire_groups > 1:
+            tgt_g = jax.lax.dynamic_slice(tgt, (g * grp_sz,), (grp_sz,))
+            acc_g = jax.lax.dynamic_slice(acc_m, (g * grp_sz, 0),
+                                          (grp_sz, 3))
+            tgt3 = (tgt_g[:, None] + ch_off).reshape(-1)
+            film_rgb = c.film_rgb.at[tgt3].add(acc_g.reshape(-1))
+        else:
+            tgt3 = (tgt[:, None] + ch_off).reshape(-1)
+            film_rgb = c.film_rgb.at[tgt3].add(acc_m.reshape(-1))
+
+        # ---- respawn: next sample of the same pixel, or fresh work ----
+        nxt = fresh & (samp < R_spp)
+        rank = jnp.cumsum(retire.astype(jnp.int32)) - 1
+        new_work = c.cursor + rank
+        can_new = retire & (new_work < R_items)
+        can = nxt | can_new
+        sp_work = jnp.where(nxt, c.work,
+                            jnp.where(can_new, new_work, 0)).astype(jnp.int32)
+        sp_samp = jnp.where(nxt, samp, 0).astype(jnp.int32)
+        o2, d2, lam2, pdf2, rng2, _ = spawn(sp_work, sp_samp)
+        s_t2, s_a2, s_s2, s_le2 = spectra_for(lam2)
+        sel = can[:, None]
+        one_s = jnp.ones((N, LANES), f32)
+        c = c._replace(
+            pc=jnp.where(can, PC_MARCH, c.pc).astype(jnp.int32),
+            depth=jnp.where(can, 0, c.depth),
+            rng=jnp.where(can, rng2, c.rng),
+            lam=jnp.where(sel, lam2, c.lam),
+            lam_pdf=jnp.where(sel, pdf2, c.lam_pdf),
+            s_t=jnp.where(sel, s_t2, c.s_t),
+            s_a=jnp.where(sel, s_a2, c.s_a),
+            s_s=jnp.where(sel, s_s2, c.s_s),
+            s_le=jnp.where(sel, s_le2, c.s_le),
+            d_main=jnp.where(sel, d2, c.d_main),
+            at_surface=jnp.where(can, False, c.at_surface),
+            spec_last=jnp.where(can, False, c.spec_last),
+            L=jnp.where(sel, 0.0, c.L),
+            beta=jnp.where(sel, one_s, c.beta),
+            r_u=jnp.where(sel, one_s, c.r_u),
+            r_l=jnp.where(sel, one_s, c.r_l),
+            T_ray=jnp.where(sel, one_s, c.T_ray),
+            r_l_s=jnp.where(sel, one_s, c.r_l_s),
+            r_u_s=jnp.where(sel, one_s, c.r_u_s),
+            work=jnp.where(can_new, new_work,
+                           jnp.where(retire, -1, c.work)).astype(jnp.int32),
+            samp=jnp.where(can_new, 0, samp).astype(jnp.int32),
+            rgb_acc=jnp.where(retire[:, None], 0.0, rgb_acc),
+            cursor=jnp.minimum(
+                c.cursor + jnp.sum(retire, dtype=jnp.int32),
+                jnp.int32(R_items)),
+            film_rgb=film_rgb,
+        )
+        c, _ = init_segment(o2, d2, jnp.full((N,), jnp.inf, f32), c.rng,
+                            can, c, need_main=can)
+        return c
+
     def cond(c: _Regs):
         busy = jnp.any(c.pc != PC_DONE)
         if regen is not None and (retire_every > 1 or retire_groups > 1):
@@ -1248,6 +1380,8 @@ def li(
                 c = jax.lax.cond(
                     (c.n_steps % retire_every) == retire_every - 1,
                     retire_respawn, lambda x: x, c)
+            elif accum_spp:
+                c = retire_respawn_accum(c)
             else:
                 c = retire_respawn(c)
         return c._replace(n_steps=c.n_steps + 1)

@@ -84,6 +84,39 @@ def _u01(bits):
     return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
+def _feistel_pow2(i, bits: int, key):
+    """Bijective permutation of [0, 2^bits) — 4-round balanced Feistel
+    keyed by a uint32 (PermutationElement, util/hash.h, restricted to
+    power-of-two domains, which is all pmj02 needs)."""
+    hb = bits // 2
+    lb = bits - hb
+    L = (i >> lb) & jnp.uint32((1 << hb) - 1)
+    R = i & jnp.uint32((1 << lb) - 1)
+    for r in range(4):
+        f = _owen_hash(R ^ jnp.uint32((r * 0x68BC21EB) & 0xFFFFFFFF), key)
+        L, R = R, L ^ (f & jnp.uint32((1 << hb) - 1))
+        hb, lb = lb, hb
+    return ((L << lb) | R) & jnp.uint32((1 << bits) - 1)
+
+
+def _pmj02_index(i, key, permute_epoch0: bool = False):
+    """Sample index -> pmj02 table slot with per-wrap-epoch bijective
+    permutation: epoch 0 keeps the designed progressive prefix order
+    (unless permute_epoch0 — set-reuse dims), later epochs re-cover the
+    table in decorrelated orders instead of repeating bit-identically."""
+    from . import pmj02 as pmj02_mod
+
+    T = pmj02_mod.TABLE_SIZE
+    tbits = int(np.log2(T))
+    i = jnp.asarray(i, jnp.uint32)
+    epoch = i // jnp.uint32(T)
+    ekey = _owen_hash(epoch, key | jnp.uint32(1))
+    perm = _feistel_pow2(i & jnp.uint32(T - 1), tbits, ekey)
+    if permute_epoch0:
+        return perm
+    return jnp.where(epoch == 0, i & jnp.uint32(T - 1), perm)
+
+
 def _radical_inverse_base3(i, perm_seed):
     """Base-3 radical inverse with per-pixel random digit shifts (the
     Halton digit scrambling of util/lowdiscrepancy.h, hash-driven)."""
@@ -226,7 +259,12 @@ def film_sample(kind: str, pixel_index, sample_index, spp: int, seed: int = 0,
         tables, bn = pmj02_mod.get_tables(0)
         tab = jnp.asarray(tables[0])                      # (T, 2)
         bn_t = jnp.asarray(bn)                            # (64, 64, 2)
-        i = jnp.asarray(sample_index, jnp.uint32) % pmj02_mod.TABLE_SIZE
+        i_raw = jnp.asarray(sample_index, jnp.uint32)
+        # spp > TABLE_SIZE: each wrap epoch consumes the set in a fresh
+        # bijective order (epoch 0 keeps the designed progressive prefix),
+        # so extra samples keep stratifying instead of repeating
+        # bit-identically (advisor r3)
+        i = _pmj02_index(i_raw, jnp.uint32(0xE0C0 ^ (seed * 0x9E37)))
         u = tab[i]                                        # (N, 2)
         if pix is not None:
             bx = jnp.asarray(pix[..., 0], jnp.uint32) % 64
@@ -319,7 +357,15 @@ def path_dim_sample(kind: str, pixel_index, sample_index, spp: int,
         tables, bn = pmj02_mod.get_tables(0)
         tab = jnp.asarray(tables[1 + (dim % (pmj02_mod.N_SETS - 1))])
         bn_t = jnp.asarray(bn)
-        ii = i % pmj02_mod.TABLE_SIZE
+        # dims that REUSE a set (dim >= N_SETS-1) consume it in a
+        # dim-keyed bijective order, as PMJ02BNSampler permutes the sample
+        # index on reuse — otherwise dims d and d+4 draw the identical 1D
+        # sequence up to a constant shift and are perfectly rank-
+        # correlated (advisor r3); wrap epochs are folded into the key
+        reuse = dim // (pmj02_mod.N_SETS - 1)
+        ii = _pmj02_index(i, jnp.uint32((0xC2B2AE35 * (reuse + seed + 1))
+                                        & 0xFFFFFFFF),
+                          permute_epoch0=reuse > 0)
         u = tab[ii, dim % 2]
         bx, by = pix % 64, (pix // 64) % 64
         sx = jnp.uint32((0x9E3779B9 * (dim + seed + 1)) % 64)

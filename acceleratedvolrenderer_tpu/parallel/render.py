@@ -234,6 +234,7 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
                         retire_every: int = 1,
                         retire_groups: int = 1,
                         sub_rounds: int = 1,
+                        accum_spp: bool = False,
                         unroll: int = 0,
                         work_stride=1,
                         record_alive: bool = False):
@@ -322,7 +323,7 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
             max_march_steps=iter_cap, rgb_mode=med_spec.rgb,
             k_substeps=k_substeps, stochastic_filter=stochastic_filter,
             retire_every=retire_every, retire_groups=retire_groups,
-            sub_rounds=sub_rounds,
+            sub_rounds=sub_rounds, accum_spp=accum_spp,
             prims=tuple(scene.primitives), regen=regen,
             light_strategy=getattr(scene, "light_sampler", "uniform"),
             record_alive=record_alive, external_loop=external_loop)
@@ -378,18 +379,20 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
 
 
 def render_regen(scene, spp: Optional[int] = None, n_lanes: int = 4096,
-                 k_substeps: int = 16, stochastic_filter: bool = False):
+                 k_substeps: int = 16, stochastic_filter: bool = False,
+                 **knobs):
     """Full render via path regeneration: ((H, W, 3) image, stats).
 
     stochastic_filter=True swaps the per-collision 8-tap trilerp for the
     1-tap stochastic-filtering estimate (ops.grid.stochastic_corner) —
     same mean, ~2x faster on large grids; off by default so estimates stay
-    bitwise-equal to the chunked wave driver."""
+    bitwise-equal to the chunked wave driver.  Extra knobs (retire_groups,
+    accum_spp, work_stride, ...) forward to make_regen_renderer."""
     spp = spp if spp is not None else scene.spp
     H, W = scene.height, scene.width
     run, density, majorant = make_regen_renderer(
         scene, n_lanes=n_lanes, spp=spp, k_substeps=k_substeps,
-        stochastic_filter=stochastic_filter)
+        stochastic_filter=stochastic_filter, **knobs)
     film_rgb = jnp.zeros((3 * (H * W + 1),))
     t0 = time.time()
     film_rgb = run(density, majorant, film_rgb)

@@ -39,6 +39,31 @@ def test_regen_lane_count_invariance():
     assert np.allclose(a, b, atol=2e-5)
 
 
+def test_accum_spp_matches_per_sample():
+    """In-lane spp accumulation (accum_spp=True: a work item is a pixel,
+    all spp samples run back-to-back banking rgb in registers) must
+    reproduce the per-sample regen estimates to float-associativity — the
+    (pixel, sample) film_sample streams are identical by construction."""
+    sc = presets.cloud(width=32, height=24, spp=3, max_depth=8, grid_res=48)
+    sc.max_march_steps = 3000
+    a, _ = render_mod.render_regen(sc, n_lanes=512)
+    b, _ = render_mod.render_regen(sc, n_lanes=512, accum_spp=True)
+    assert np.all(np.isfinite(b))
+    err = np.max(np.abs(b - a)) / max(float(np.abs(a).max()), 1e-6)
+    assert err < 2e-5, err
+
+
+def test_accum_spp_retire_groups():
+    """accum_spp with grouped retirement (the production bench config) and
+    a different lane count must agree with the plain regen estimate."""
+    sc = presets.fog_box(res=24, spp=4)
+    a, _ = render_mod.render_regen(sc, n_lanes=1024)
+    b, _ = render_mod.render_regen(sc, n_lanes=256, accum_spp=True,
+                                   retire_groups=4, work_stride="auto")
+    err = np.max(np.abs(b - a)) / max(float(np.abs(a).max()), 1e-6)
+    assert err < 2e-5, err
+
+
 def test_stochastic_filter_unbiased():
     """1-tap stochastic trilerp (ops.grid.stochastic_corner) must agree
     with the deterministic 8-tap render in expectation: every collision
