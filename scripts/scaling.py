@@ -10,9 +10,10 @@ thread utilization, not sharding cost):
     time exceeds T(1) by more than the gate margin indicates real
     sharding cost (collectives, padding, queue fragmentation).
   * WEAK (fixed work per device): total work scales with N at fixed
-    per-device lanes/spp.  The honest per-device throughput baseline on a
-    C-core host is C-way capacity: ideal T_weak(N) = T_weak(1) * N / min(N,
-    C).  Reported as capacity-normalized efficiency.
+    per-device lanes/spp.  Reported as the per-device step-time ratio
+    T(N)/T(1), only for N <= host cores (beyond that virtual devices
+    time-slice cores and no efficiency claim is meaningful) — VERDICT r3
+    weak #5 replaced the capacity-normalized form that could exceed 100%.
 
 Collective decomposition: the sharded regen program issues exactly ONE
 cross-device reduction per run (the film psum, parallel/mesh.py:286); its
@@ -96,15 +97,20 @@ def run(res=160, spp=8, n_lanes=2048, repeats=3, device_counts=(1, 2, 4, 8)):
         print(f"strong devices={n} t={strong[n]:.3f}s "
               f"psum={coll[n] * 1e3:.2f}ms", flush=True)
 
-    # ---- weak leg: fixed work per device (total spp grows with N) ----
+    # ---- weak leg: fixed work per device (total spp grows with N,
+    # per-device lane count constant).  VERDICT r3 weak #5: the r3
+    # "capacity-normalized efficiency" could exceed 100% on a 2-core host
+    # (normalizing by min(N, cores) swings with thread scheduling) — the
+    # honest quantity is the per-device STEP-TIME RATIO T(N)/T(1), and
+    # only for N <= host cores, where a core per device exists and the
+    # ratio isolates sharding cost rather than time-slicing. ----
     weak = {}
     for n in device_counts:
         m = Mesh(np.array(devs[:n]), ("rays",))
         scene_w = presets.sphere_medium(res=res, height=res, spp=spp * n,
                                         max_depth=6)
         run_fn, density, majorant = mesh_mod.make_sharded_regen_renderer(
-            scene_w, m, n_lanes=max(n_lanes // max(n, 1), 256) * n // n,
-            spp=spp * n)
+            scene_w, m, n_lanes=n_lanes, spp=spp * n)
         jax.block_until_ready(run_fn(density, majorant))
         weak[n] = _best_time(lambda: run_fn(density, majorant), repeats)
         print(f"weak   devices={n} t={weak[n]:.3f}s "
@@ -125,14 +131,17 @@ def run(res=160, spp=8, n_lanes=2048, repeats=3, device_counts=(1, 2, 4, 8)):
                 for n in device_counts},
         },
         "weak": {
-            "definition": "fixed work PER device; capacity-normalized "
-                          "efficiency = (w1 * N / min(N, cores)) / T(N) "
-                          "(100% = scales to host capacity with no "
-                          "sharding cost)",
+            "definition": "fixed work PER device (constant per-device "
+                          "lanes, total spp = spp*N); step_time_ratio = "
+                          "T(N)/T(1), reported only for N <= host cores "
+                          "(1.0 = perfect weak scaling; > 1 = sharding "
+                          "cost).  N > cores rows list raw times only — "
+                          "virtual devices time-slice cores there and no "
+                          "efficiency claim is meaningful.",
             "times_s": {str(n): weak[n] for n in device_counts},
-            "capacity_norm_efficiency_pct": {
-                str(n): 100.0 * (w1 * n / min(n, n_cores)) / weak[n]
-                for n in device_counts},
+            "step_time_ratio": {
+                str(n): weak[n] / w1
+                for n in device_counts if n <= n_cores},
         },
         "collective": {
             "definition": "direct cost of the one film psum per run "
@@ -150,7 +159,7 @@ def run(res=160, spp=8, n_lanes=2048, repeats=3, device_counts=(1, 2, 4, 8)):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SCALING_r03.json")
+    ap.add_argument("--out", default="SCALING_r04.json")
     ap.add_argument("--res", type=int, default=160)
     ap.add_argument("--spp", type=int, default=8)
     args = ap.parse_args(argv)

@@ -70,6 +70,16 @@ _SESSION_STATUS = {"code": 0}
 
 def pytest_sessionfinish(session, exitstatus):
     _SESSION_STATUS["code"] = int(exitstatus)
+    # print an explicit counts line (VERDICT r3 weak #8: the hard-exit
+    # guard below can swallow pytest's own "N passed" summary when native
+    # teardown aborts mid-flush; this line is written + flushed first)
+    import sys as _sys
+    tr = session.config.pluginmanager.get_plugin("terminalreporter")
+    if tr is not None:
+        counts = ", ".join(
+            f"{len(v)} {k}" for k, v in sorted(tr.stats.items()) if k)
+        print(f"\n[suite] exitstatus={int(exitstatus)}: {counts}",
+              file=_sys.stderr, flush=True)
 
 
 def pytest_unconfigure(config):

@@ -64,6 +64,20 @@ def test_accum_spp_retire_groups():
     assert err < 2e-5, err
 
 
+def test_event_groups_match():
+    """Event-group round-robin (handle_events on a 1/E lane slice per
+    iteration) must be estimate-identical: per-lane RNG streams advance
+    only at that lane's own events."""
+    sc = presets.cloud(width=32, height=24, spp=3, max_depth=8, grid_res=48)
+    sc.max_march_steps = 3000
+    a, _ = render_mod.render_regen(sc, n_lanes=512)
+    b, _ = render_mod.render_regen(sc, n_lanes=512, accum_spp=True,
+                                   retire_groups=4, event_groups=2,
+                                   work_stride="auto")
+    err = np.max(np.abs(b - a)) / max(float(np.abs(a).max()), 1e-6)
+    assert err < 2e-5, err
+
+
 def test_stochastic_filter_unbiased():
     """1-tap stochastic trilerp (ops.grid.stochastic_corner) must agree
     with the deterministic 8-tap render in expectation: every collision
