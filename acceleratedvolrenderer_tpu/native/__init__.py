@@ -21,7 +21,7 @@ import threading
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "kdtree.cpp")
+_SRCS = [os.path.join(_DIR, "kdtree.cpp"), os.path.join(_DIR, "lz4.cpp")]
 _SO = os.path.join(_DIR, "_avrt_native.so")
 _lock = threading.Lock()
 _lib = None
@@ -36,10 +36,11 @@ def _load():
         _tried = True
         try:
             if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                    or os.path.getmtime(_SO) < max(os.path.getmtime(s)
+                                                   for s in _SRCS)):
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-std=c++17", _SRC, "-o", _SO + ".tmp"],
+                     "-std=c++17", *_SRCS, "-o", _SO + ".tmp"],
                     check=True, capture_output=True)
                 os.replace(_SO + ".tmp", _SO)
             lib = ctypes.CDLL(_SO)
@@ -56,6 +57,14 @@ def _load():
             lib.avrt_kd_radius_stats.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_float, ctypes.c_void_p, ctypes.c_void_p]
+            lib.avrt_lz4_compress.restype = ctypes.c_int64
+            lib.avrt_lz4_compress.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64]
+            lib.avrt_lz4_decompress.restype = ctypes.c_int64
+            lib.avrt_lz4_decompress.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64]
             _lib = lib
         except Exception:
             _lib = None
@@ -168,3 +177,30 @@ class KDTree:
         d2f = ((q[:, None, :] - self.pts[None, :, :]) ** 2).sum(-1)
         m = d2f <= radius * radius
         return m.sum(1).astype(np.int32), np.where(m, d2f, 0).sum(1).astype(np.float32)
+
+
+def lz4_compress_block(src: bytes):
+    """Native LZ4 block encode; returns None when no toolchain is
+    available (caller falls back to the pure-Python encoder)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(src)
+    cap = n + n // 255 + 16
+    dst = np.empty(cap, np.uint8)
+    r = lib.avrt_lz4_compress(src, n, _ptr(dst), cap)
+    if r < 0:
+        raise ValueError("lz4: compress overflow")
+    return dst[:r].tobytes()
+
+
+def lz4_decompress_block(src: bytes, dst_size: int):
+    """Native LZ4 block decode; returns None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    dst = np.empty(max(dst_size, 1), np.uint8)
+    r = lib.avrt_lz4_decompress(src, len(src), _ptr(dst), dst_size)
+    if r != dst_size:
+        raise ValueError(f"lz4: decoded {r} bytes, expected {dst_size}")
+    return dst[:dst_size].tobytes()

@@ -34,7 +34,23 @@ COMPRESSOR_LZ4 = 1
 
 
 def lz4_decompress_block(src: bytes, dst_size: int) -> bytes:
-    """LZ4 *block* format decode (not the frame format)."""
+    """LZ4 *block* format decode (not the frame format).
+
+    Dispatches to the native codec (native/lz4.cpp) when built — the
+    production path for real WDAS-scale grids; the pure-Python decode
+    below is the no-toolchain fallback and the executable spec."""
+    try:
+        from .. import native
+
+        out = native.lz4_decompress_block(bytes(src), dst_size)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
+    return _lz4_decompress_block_py(src, dst_size)
+
+
+def _lz4_decompress_block_py(src: bytes, dst_size: int) -> bytes:
     src = memoryview(src)
     dst = bytearray(dst_size)
     si, di = 0, 0
@@ -86,7 +102,20 @@ def lz4_decompress_block(src: bytes, dst_size: int) -> bytes:
 
 
 def lz4_compress_block(src: bytes) -> bytes:
-    """Greedy LZ4 block encoder (fixture/roundtrip use; small inputs)."""
+    """LZ4 block encode: native codec when built, pure-Python fallback."""
+    try:
+        from .. import native
+
+        out = native.lz4_compress_block(bytes(src))
+        if out is not None:
+            return out
+    except ImportError:
+        pass
+    return _lz4_compress_block_py(src)
+
+
+def _lz4_compress_block_py(src: bytes) -> bytes:
+    """Greedy LZ4 block encoder (executable spec; small inputs)."""
     src = bytes(src)
     n = len(src)
     out = bytearray()

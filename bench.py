@@ -90,6 +90,9 @@ def main(argv=None):
                     help="skip the instrumented occupancy pass")
     ap.add_argument("--no-spp2", action="store_true",
                     help="skip the spp=2 continuity measurement")
+    ap.add_argument("--no-nvdb-leg", action="store_true",
+                    help="skip the compressed-asset ingestion leg "
+                         "(256^3 BLOSC .nvdb through the full pipeline)")
     args = ap.parse_args(argv)
 
     import jax
@@ -110,8 +113,10 @@ def main(argv=None):
                           max_depth=16)
     metric = "disney_cloud_720p_mrays_per_sec_per_chip"
     if args.grid:
+        import dataclasses
+
         dens = load_grid_density(args.grid)
-        scene.medium.density = dens
+        scene.medium = dataclasses.replace(scene.medium, density=dens)
         metric = "wdas_cloud_720p_mrays_per_sec_per_chip"
     scene.max_march_steps = 4096
     # r4 production config: path regeneration + in-lane spp accumulation
@@ -159,6 +164,50 @@ def main(argv=None):
         d2, _ = _time_runs(run2, density, majorant, film_shape, 3)
         out["value_spp2"] = round(
             width * height * 2 / sorted(d2)[len(d2) // 2] / 1e6, 4)
+
+    if not args.no_nvdb_leg and not args.grid:
+        # Compressed-asset ingestion leg (VERDICT r3 #3): the SAME 256^3
+        # cloud, round-tripped through a BLOSC-compressed .nvdb (written
+        # by utils/nvdb + the native LZ4 codec), loaded back through the
+        # production reader, and rendered end-to-end on the chip — the
+        # full `nanovdb2pbrt` ingestion path (cmd/nanovdb2pbrt.cpp:30-126,
+        # media.cpp:488-500) at WDAS-export scale.
+        from acceleratedvolrenderer_tpu.utils import nvdb
+        os.makedirs("out", exist_ok=True)
+        nvdb_path = "out/wdas_cloud_256_blosc.nvdb"
+        dens0 = np.asarray(scene.medium.density, np.float32)
+        t0 = time.time()
+        nvdb.write_nvdb(
+            nvdb_path,
+            nvdb.NvdbGrid(
+                name="density", data=dens0, index_min=(0, 0, 0),
+                world_bbox=np.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]]),
+                voxel_size=np.array([1.0 / s for s in dens0.shape[::-1]])),
+            codec="blosc")
+        t_write = time.time() - t0
+        t0 = time.time()
+        dens1 = np.asarray(nvdb.read_nvdb(nvdb_path, "density").data,
+                           np.float32)
+        t_read = time.time() - t0
+        if dens1.shape != dens0.shape or not (dens1 == dens0).all():
+            raise SystemExit("nvdb leg: round-trip mismatch")
+        import dataclasses
+
+        scene.medium = dataclasses.replace(scene.medium, density=dens1)
+        run_g, density_g, majorant_g = render_mod.make_regen_renderer(
+            scene, spp=bench_spp, **knobs)
+        fg = run_g(density_g, majorant_g, jnp.zeros(film_shape))
+        jax.block_until_ready(fg)
+        dg, _ = _time_runs(run_g, density_g, majorant_g, film_shape, 3)
+        mg = rays / sorted(dg)[len(dg) // 2] / 1e6
+        out["wdas_cloud_720p"] = {
+            "metric": "wdas_cloud_720p_mrays_per_sec_per_chip",
+            "value": round(mg, 4), "unit": "Mrays/s",
+            "vs_baseline": round(mg / ref_mrays, 2),
+            "nvdb_bytes": os.path.getsize(nvdb_path),
+            "grid_voxels": int(dens0.size),
+            "io_write_s": round(t_write, 2), "io_read_s": round(t_read, 2),
+        }
 
     if not args.no_occupancy:
         # separate instrumented pass: per-iteration alive-lane counts (the

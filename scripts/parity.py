@@ -33,11 +33,17 @@ import json
 import os
 import sys
 
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8").strip()
-import jax  # noqa: E402
+if os.environ.get("AVRT_PARITY_KEEP_PLATFORM") != "1":
+    # the harness runs on the virtual CPU mesh (how the driver/judge
+    # re-run it); calibrate_cloud.py imports this module on the TPU
+    # backend instead and sets the env var
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8"
+                               ).strip()
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
+import jax  # noqa: E402
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 try:
@@ -68,6 +74,95 @@ def lum(img):
 REF_ROOT = "/root/reference"
 
 
+def load_cloud_reference():
+    """Reference-artifact facts for the cloud leg: camera (from the EXR
+    transform headers), silhouette stats, and luminance percentiles."""
+    from acceleratedvolrenderer_tpu.utils import image as im
+
+    ref_img, _, meta = im.read_exr(f"{REF_ROOT}/disney-cloud-720p.exr")
+    ref = np.asarray(ref_img)
+    H_ref, W_ref = ref.shape[:2]
+    w2c = np.asarray(meta["worldToCamera"], np.float64)
+    c2w = np.linalg.inv(w2c)
+    P = np.asarray(meta["worldToNDC"], np.float64) @ c2w
+    fov = float(np.degrees(2.0 * np.arctan(0.5 / P[1, 1])))
+    L_ref = lum(ref)
+    m_ref = L_ref > 1e-5
+    ys, xs = np.nonzero(m_ref)
+    return {
+        "c2w": c2w, "w2c": w2c, "fov": fov, "W": W_ref, "H": H_ref,
+        "xs": xs, "ys": ys, "L": L_ref, "mask": m_ref,
+        "coverage": float(m_ref.mean()),
+        "centroid": (float(xs.mean() / W_ref), float(ys.mean() / H_ref)),
+        "mean_lum": float(L_ref.mean()), "max_lum": float(L_ref.max()),
+        "percentiles": {q: float(np.percentile(L_ref[m_ref], q))
+                        for q in (25, 50, 75, 90, 99)},
+    }
+
+
+def cloud_analog_scene(ref, W=320, H=180, spp=12, albedo=0.993,
+                       scale=0.10, sun=1.15, g=0.877, max_depth=128,
+                       wispiness=1.5, extent=0.43, frequency=4.0,
+                       seed=11):
+    """Build the procedural cloud-analog Scene under the reference camera.
+
+    Photometric knobs (albedo / scale / sun / max_depth) are calibrated
+    against the artifact's luminance percentiles by
+    scripts/calibrate_cloud.py (r4: the r3 defaults albedo=0.96,
+    sun=3.0, max_depth=32 under-lit the cloud BODY ~2.7x — deep multiple
+    scattering dies as albedo^bounces, so the body demands near-unit
+    albedo and >=64 depth — while over-blowing the mean via the sun)."""
+    from acceleratedvolrenderer_tpu.models import lights as lm
+    from acceleratedvolrenderer_tpu.models import media as media_mod
+    from acceleratedvolrenderer_tpu.models.cameras import PerspectiveCamera
+    from acceleratedvolrenderer_tpu.models.media import MediumSpec
+    from acceleratedvolrenderer_tpu.scene import Scene
+    from acceleratedvolrenderer_tpu.utils import spectrum as sp
+    from acceleratedvolrenderer_tpu.utils import vecmath as vm
+
+    c2w, w2c, fov = ref["c2w"], ref["w2c"], ref["fov"]
+    cam = PerspectiveCamera(
+        c2w=vm.Transform(jnp.asarray(c2w, jnp.float32),
+                         jnp.asarray(w2c, jnp.float32)),
+        fov_deg=fov, width=W, height=H)
+    t_mid = 667.0   # |camera -> LookAt point| from the scene geometry
+    xs, ys = ref["xs"], ref["ys"]
+    px_box = np.array([
+        [xs.min(), ys.mean()], [xs.max(), ys.mean()],
+        [xs.mean(), ys.min()], [xs.mean(), ys.max()],
+        [xs.mean(), ys.mean()]], np.float64) / [ref["W"], ref["H"]] * [W, H]
+    o_c, d_c = cam.generate_rays(
+        jnp.asarray(px_box.astype(np.int32)),
+        jnp.asarray(px_box - np.floor(px_box), dtype=jnp.float32))
+    pts = np.asarray(o_c + t_mid * d_c)
+    center = pts[4]
+    half = np.abs(pts[:4] - center).max(axis=0)
+    half = np.maximum(half, 0.30 * half.max())   # depth extent
+    lo, hi = center - half, center + half
+
+    dens = media_mod.bake_cloud_density(
+        res=(128, 96, 128), density=1.0, wispiness=wispiness,
+        extent=extent, frequency=frequency, seed=seed)
+    flatsp = sp.constant_spectrum
+    med = MediumSpec(
+        sigma_a_spec=flatsp(1.0 - albedo), sigma_s_spec=flatsp(albedo),
+        g=g, scale=scale,
+        density=dens.astype(np.float32),
+        bounds_lo=lo.astype(np.float32), bounds_hi=hi.astype(np.float32),
+        majorant_res=(32, 32, 32))
+    sun_d = np.array([-0.286, -0.962, -0.391])
+    scene = Scene(
+        camera=cam, medium=med,
+        lights=[lm.DistantLight(direction=sun_d, spectrum=flatsp(sun),
+                                scene_radius=3000.0)],
+        max_depth=max_depth, spp=spp, scene_radius=3000.0)
+    # bound the rare shadow-RR fireflies (4^k boosted survivors) that
+    # would otherwise dominate the low-spp mean — the reference image's
+    # own max is ~85
+    scene.max_component = 100.0
+    return scene, (lo, hi)
+
+
 def _cloud_leg(report, gate, lum, rel_mse):
     """Compare a procedural cloud analog against disney-cloud-720p.exr.
 
@@ -82,79 +177,20 @@ def _cloud_leg(report, gate, lum, rel_mse):
     Medium parameters use the published WDAS cloud values (g = 0.877,
     single-scatter albedo ~0.96).
     """
-    from acceleratedvolrenderer_tpu.models import lights as lm
-    from acceleratedvolrenderer_tpu.models import media as media_mod
-    from acceleratedvolrenderer_tpu.models.cameras import PerspectiveCamera
-    from acceleratedvolrenderer_tpu.models.media import MediumSpec
     from acceleratedvolrenderer_tpu.parallel import render as render_mod
-    from acceleratedvolrenderer_tpu.scene import Scene
-    from acceleratedvolrenderer_tpu.utils import image as im
-    from acceleratedvolrenderer_tpu.utils import spectrum as sp
-    from acceleratedvolrenderer_tpu.utils import vecmath as vm
 
-    ref_img, _, meta = im.read_exr(f"{REF_ROOT}/disney-cloud-720p.exr")
-    ref = np.asarray(ref_img)
-    H_ref, W_ref = ref.shape[:2]
-    w2c = np.asarray(meta["worldToCamera"], np.float64)
-    c2w = np.linalg.inv(w2c)
-    P = np.asarray(meta["worldToNDC"], np.float64) @ c2w
-    fov = float(np.degrees(2.0 * np.arctan(0.5 / P[1, 1])))
+    ref = load_cloud_reference()
     report["cloud_camera"] = {
-        "position": [round(float(v), 3) for v in c2w[:3, 3]],
-        "fov_deg": round(fov, 3)}
+        "position": [round(float(v), 3) for v in ref["c2w"][:3, 3]],
+        "fov_deg": round(ref["fov"], 3)}
+    ref_cov, (ref_cx, ref_cy) = ref["coverage"], ref["centroid"]
+    ref_mean, ref_p = ref["mean_lum"], ref["percentiles"]
 
-    L_ref = lum(ref)
-    m_ref = L_ref > 1e-5
-    ys, xs = np.nonzero(m_ref)
-    ref_cov = float(m_ref.mean())
-    ref_cx, ref_cy = float(xs.mean() / W_ref), float(ys.mean() / H_ref)
-    ref_mean = float(L_ref.mean())
-    ref_p = {q: float(np.percentile(L_ref[m_ref], q))
-             for q in (25, 50, 75, 90, 99)}
-
-    # ---- cloud analog: unproject the reference silhouette bbox at the
-    # look-at distance to place a procedural density box ----
+    # analog scene with r4-calibrated photometrics (calibrate_cloud.py)
     W, H = 320, 180
-    cam = PerspectiveCamera(
-        c2w=vm.Transform(jnp.asarray(c2w, jnp.float32),
-                         jnp.asarray(w2c, jnp.float32)),
-        fov_deg=fov, width=W, height=H)
-    t_mid = 667.0   # |camera -> LookAt point| from the scene geometry
-    px_box = np.array([
-        [xs.min(), ys.mean()], [xs.max(), ys.mean()],
-        [xs.mean(), ys.min()], [xs.mean(), ys.max()],
-        [xs.mean(), ys.mean()]], np.float64) / [W_ref, H_ref] * [W, H]
-    o_c, d_c = cam.generate_rays(
-        jnp.asarray(px_box.astype(np.int32)),
-        jnp.asarray(px_box - np.floor(px_box), dtype=jnp.float32))
-    pts = np.asarray(o_c + t_mid * d_c)
-    center = pts[4]
-    half = np.abs(pts[:4] - center).max(axis=0)
-    half = np.maximum(half, 0.30 * half.max())   # depth extent
-    lo, hi = center - half, center + half
+    scene, (lo, hi) = cloud_analog_scene(ref, W=W, H=H)
     report["cloud_box"] = {"lo": [round(float(v), 1) for v in lo],
                            "hi": [round(float(v), 1) for v in hi]}
-
-    dens = media_mod.bake_cloud_density(
-        res=(128, 96, 128), density=1.0, wispiness=1.5, extent=0.43,
-        frequency=4.0, seed=11)
-    flatsp = sp.constant_spectrum
-    med = MediumSpec(
-        sigma_a_spec=flatsp(0.04), sigma_s_spec=flatsp(0.96),
-        g=0.877, scale=0.10,
-        density=dens.astype(np.float32),
-        bounds_lo=lo.astype(np.float32), bounds_hi=hi.astype(np.float32),
-        majorant_res=(32, 32, 32))
-    sun_d = np.array([-0.286, -0.962, -0.391])
-    scene = Scene(
-        camera=cam, medium=med,
-        lights=[lm.DistantLight(direction=sun_d, spectrum=flatsp(3.0),
-                                scene_radius=3000.0)],
-        max_depth=32, spp=12, scene_radius=3000.0)
-    # production regen path; max_component bounds the rare shadow-RR
-    # fireflies (4^k boosted survivors) that would otherwise dominate the
-    # 12-spp mean — the reference image's own max is ~85
-    scene.max_component = 100.0
     img, info = render_mod.render_regen(scene, stochastic_filter=True)
     img = np.asarray(img)
 
@@ -179,13 +215,19 @@ def _cloud_leg(report, gate, lum, rel_mse):
     gate("cloud_sil_coverage_dev", abs(our_cov - ref_cov), 0.12)
     gate("cloud_sil_centroid_dev",
          max(abs(our_cx - ref_cx), abs(our_cy - ref_cy)), 0.10)
-    ref_cap = float(L_ref.max())
+    ref_cap = ref["max_lum"]
     mean_clip = float(np.minimum(L_our, ref_cap).mean())
     report["cloud_stats"]["ours"]["mean_lum_clipped"] = mean_clip
+    # r4 bounds (VERDICT r3 #2): calibrated values + MC/analog margin —
+    # mean 1.5 -> 0.5, median 2.0 -> 1.0, body/tail percentiles gated
     gate("cloud_mean_lum_log2dev",
-         abs(np.log2(max(mean_clip, 1e-9) / ref_mean)), 1.5)
+         abs(np.log2(max(mean_clip, 1e-9) / ref_mean)), 0.5)
     gate("cloud_sil_median_log2dev",
-         abs(np.log2(max(our_p[50], 1e-9) / ref_p[50])), 2.0)
+         abs(np.log2(max(our_p[50], 1e-9) / ref_p[50])), 1.0)
+    gate("cloud_sil_p75_log2dev",
+         abs(np.log2(max(our_p[75], 1e-9) / ref_p[75])), 1.0)
+    gate("cloud_sil_p90_log2dev",
+         abs(np.log2(max(our_p[90], 1e-9) / ref_p[90])), 1.0)
 
 
 def main(argv=None):

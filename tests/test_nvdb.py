@@ -166,6 +166,36 @@ def test_lz4_block_format():
     assert blosc.lz4_decompress_block(comp, len(data)) == data
 
 
+def test_lz4_native_python_interop():
+    """The native block codec (native/lz4.cpp) and the pure-Python
+    executable spec decode each other's output byte-exactly."""
+    import numpy as np
+    import pytest
+
+    from acceleratedvolrenderer_tpu import native
+    from acceleratedvolrenderer_tpu.utils import blosc
+
+    if not native.is_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(7)
+    cases = [
+        b"",
+        b"short",
+        np.sin(np.linspace(0, 30, 1 << 16)).astype(np.float32).tobytes(),
+        rng.integers(0, 3, 50000, np.uint8).tobytes(),  # high-match-rate
+        rng.bytes(50000),                               # incompressible
+    ]
+    for data in cases:
+        c_nat = native.lz4_compress_block(data)
+        c_py = blosc._lz4_compress_block_py(data)
+        assert native.lz4_decompress_block(c_py, len(data)) == data
+        assert blosc._lz4_decompress_block_py(c_nat, len(data)) == data
+        assert native.lz4_decompress_block(c_nat, len(data)) == data
+    # malformed input raises, not crashes
+    with pytest.raises(ValueError):
+        native.lz4_decompress_block(b"\xff\xff\xff", 100)
+
+
 def test_nvdb_blosc_grid_roundtrip(tmp_path):
     """A BLOSC-compressed .nvdb written by our writer reads back
     bit-exactly (the WDAS-export ingestion path, media.cpp:488-500)."""
