@@ -49,21 +49,26 @@ def stats_for(img, ref, W, H):
         "mean": float(L.mean()),
         "mean_clip_at": float(np.minimum(L, ref["max_lum"]).mean()),
         "p": p,
+        "L": L,
     }
 
 
 def fit_sun(st, ref, base_sun):
-    """L is exactly linear in the sun radiance, so pick the multiplier
-    minimizing the summed squared log2 deviation over the gated stats
-    (mean + p50/p75/p90): log2 m* = mean(log2 ref_i - log2 our_i)."""
-    pairs = [(st["mean_clip_at"], ref["mean_lum"]),
-             (st["p"][50], ref["percentiles"][50]),
+    """L is exactly linear in the sun radiance; quantiles commute with
+    the scaling, so fit the multiplier on the gated percentiles only
+    (log2 m* = mean over p50/p75/p90 of log2 ref - log2 our) and then
+    evaluate the CLIPPED mean at m* exactly from the stored luminance
+    image (min(m L, ref_max) is NOT linear — the r4 first sweep
+    overestimated the mean dev ~2x by scaling it linearly)."""
+    pairs = [(st["p"][50], ref["percentiles"][50]),
              (st["p"][75], ref["percentiles"][75]),
              (st["p"][90], ref["percentiles"][90])]
     logs = [np.log2(r / max(o, 1e-12)) for o, r in pairs]
     m = float(2.0 ** np.mean(logs))
     devs = {k: float(abs(lg - np.log2(m))) for k, lg in
-            zip(("mean", "p50", "p75", "p90"), logs)}
+            zip(("p50", "p75", "p90"), logs)}
+    mean_clip_m = float(np.minimum(st["L"] * m, ref["max_lum"]).mean())
+    devs["mean"] = float(abs(np.log2(mean_clip_m / ref["mean_lum"])))
     return base_sun * m, devs
 
 
@@ -109,11 +114,16 @@ def main(argv=None):
             print(json.dumps({"cfg": cfg, "error": "black image"}))
             continue
         sun_star, devs = fit_sun(st, ref, base_sun)
+        # gates are per-stat: score = worst normalized dev (mean gate is
+        # 0.5, percentile gates 1.0)
+        score = max(devs["mean"] / 0.5, devs["p50"], devs["p75"],
+                    devs["p90"])
         row = {"cfg": cfg, "sun_star": round(sun_star, 4),
                "devs_at_sun_star": {k: round(v, 3) for k, v in devs.items()},
-               "score": round(sum(devs.values()), 3),
+               "score": round(score, 3),
                "stats_at_base_sun": {
                    "coverage": round(st["coverage"], 4),
+                   "centroid": [round(c, 4) for c in st["centroid"]],
                    "mean_clip": round(st["mean_clip_at"], 5),
                    "p": {k: round(v, 5) for k, v in st["p"].items()}},
                "seconds": round(time.time() - t0, 1)}

@@ -427,11 +427,14 @@ def main(argv=None):
         # as depth grows (ref: 0.99 -> 0.78)
         gate("depth_ratio_monotone_decay",
              ours[8]["ratio"] - ours[1]["ratio"], 0.0)
-        # (c) error magnitude within a stated factor of the reference's
-        # own graph error at depth 8 (plus our MC-noise floor at 24 spp)
+        # (c) error magnitude vs the reference's own graph error at
+        # depth 8.  r4 (VERDICT r3 weak #4): bound set from the measured
+        # r3 value 0.058 + MC/margin headroom, replacing the
+        # 4x-reference+0.03 = 0.242 bound that could not catch a
+        # regression
         gate("depth8_rel_mse_vs_reference",
              ours[8]["rel_mse"],
-             4.0 * ref_stats[8]["rel_mse"] + 0.03)
+             1.5 * ref_stats[8]["rel_mse"] + 0.03)
 
     # ---- 7. reference-artifact gate: disney-cloud-720p.exr statistics
     # under the EXR-extracted camera (worldToCamera/worldToNDC headers) ----
