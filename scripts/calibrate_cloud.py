@@ -53,23 +53,44 @@ def stats_for(img, ref, W, H):
     }
 
 
-def fit_sun(st, ref, base_sun):
-    """L is exactly linear in the sun radiance; quantiles commute with
-    the scaling, so fit the multiplier on the gated percentiles only
-    (log2 m* = mean over p50/p75/p90 of log2 ref - log2 our) and then
-    evaluate the CLIPPED mean at m* exactly from the stored luminance
-    image (min(m L, ref_max) is NOT linear — the r4 first sweep
-    overestimated the mean dev ~2x by scaling it linearly)."""
-    pairs = [(st["p"][50], ref["percentiles"][50]),
-             (st["p"][75], ref["percentiles"][75]),
-             (st["p"][90], ref["percentiles"][90])]
-    logs = [np.log2(r / max(o, 1e-12)) for o, r in pairs]
-    m = float(2.0 ** np.mean(logs))
-    devs = {k: float(abs(lg - np.log2(m))) for k, lg in
-            zip(("p50", "p75", "p90"), logs)}
+def devs_at(st, ref, m):
+    """All gated deviations at sun multiplier m, exactly: quantiles
+    commute with scaling; the clipped means are evaluated on the stored
+    luminance image (min(m L, cap) is NOT linear in m — the r4 first
+    sweep overestimated the mean dev ~2x by scaling it linearly)."""
+    devs = {}
+    for q in (50, 75, 90):
+        devs[f"p{q}"] = float(abs(np.log2(
+            st["p"][q] * m / ref["percentiles"][q])))
     mean_clip_m = float(np.minimum(st["L"] * m, ref["max_lum"]).mean())
     devs["mean"] = float(abs(np.log2(mean_clip_m / ref["mean_lum"])))
-    return base_sun * m, devs
+    # robust (p99-capped) mean: BOTH sides capped at the reference's p99
+    # — the bulk-energy comparison an MC-firefly tail can't blow
+    cap = ref["percentiles"][99]
+    ref_mean_cap = float(np.minimum(ref["L"], cap).mean())
+    our_mean_cap = float(np.minimum(st["L"] * m, cap).mean())
+    devs["mean_p99cap"] = float(abs(np.log2(our_mean_cap / ref_mean_cap)))
+    return devs
+
+
+def _score(devs):
+    """Worst gate-normalized dev (capped-mean gate 0.5, percentiles 1.0)."""
+    return max(devs["mean_p99cap"] / 0.5, devs["p50"], devs["p75"],
+               devs["p90"])
+
+
+def fit_sun(st, ref, base_sun):
+    """Direct 1-D search for the sun multiplier minimizing the worst
+    gate-normalized deviation (everything is exactly computable from the
+    stored luminance image for any m, so the search is free)."""
+    logc = np.log2(ref["percentiles"][50] / max(st["p"][50], 1e-12))
+    grid = 2.0 ** np.linspace(logc - 3.0, logc + 3.0, 301)
+    best_m, best = None, None
+    for m in grid:
+        d = devs_at(st, ref, float(m))
+        if best is None or _score(d) < _score(best):
+            best_m, best = float(m), d
+    return base_sun * best_m, best
 
 
 def main(argv=None):
@@ -101,10 +122,19 @@ def main(argv=None):
             for depth in depths:
                 grid.append(dict(albedo=albedo, max_depth=depth, scale=0.10))
 
-    base_sun = 1.15
     W, H = 320, 180
     results = []
     for cfg in grid:
+        # a cfg with an explicit "sun" is evaluated AS RENDERED (m = 1):
+        # the in-render per-sample firefly clamp interacts nonlinearly
+        # with the sun level (a 4^k RR survivor hidden below the clamp
+        # at a low sun emerges clamp-bound at a higher one), so the
+        # linear-scaling shortcut misestimates the tail — final sun
+        # selection must use real renders at candidate levels
+        base_sun = cfg.pop("sun", None)
+        fit = base_sun is None
+        if fit:
+            base_sun = 1.15
         t0 = time.time()
         scene, _ = parity.cloud_analog_scene(
             ref, W=W, H=H, spp=args.spp, sun=base_sun, **cfg)
@@ -113,12 +143,12 @@ def main(argv=None):
         if st is None:
             print(json.dumps({"cfg": cfg, "error": "black image"}))
             continue
-        sun_star, devs = fit_sun(st, ref, base_sun)
-        # gates are per-stat: score = worst normalized dev (mean gate is
-        # 0.5, percentile gates 1.0)
-        score = max(devs["mean"] / 0.5, devs["p50"], devs["p75"],
-                    devs["p90"])
-        row = {"cfg": cfg, "sun_star": round(sun_star, 4),
+        if fit:
+            sun_star, devs = fit_sun(st, ref, base_sun)
+        else:
+            sun_star, devs = base_sun, devs_at(st, ref, 1.0)
+        score = _score(devs)
+        row = {"cfg": dict(cfg, sun=base_sun), "sun_star": round(sun_star, 4),
                "devs_at_sun_star": {k: round(v, 3) for k, v in devs.items()},
                "score": round(score, 3),
                "stats_at_base_sun": {
