@@ -62,8 +62,13 @@ def devs_at(st, ref, m):
     for q in (50, 75, 90):
         devs[f"p{q}"] = float(abs(np.log2(
             st["p"][q] * m / ref["percentiles"][q])))
+        devs[f"p{q}_signed"] = float(np.log2(
+            st["p"][q] * m / ref["percentiles"][q]))
     mean_clip_m = float(np.minimum(st["L"] * m, ref["max_lum"]).mean())
     devs["mean"] = float(abs(np.log2(mean_clip_m / ref["mean_lum"])))
+    devs["mean_signed"] = float(np.log2(mean_clip_m / ref["mean_lum"]))
+    devs["p99_signed"] = float(np.log2(
+        st["p"][99] * m / ref["percentiles"][99]))
     # robust (p99-capped) mean: BOTH sides capped at the reference's p99
     # — the bulk-energy comparison an MC-firefly tail can't blow
     cap = ref["percentiles"][99]
