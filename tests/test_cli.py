@@ -152,7 +152,7 @@ def test_nanovdb2pbrt_downsample(tmp_path):
     a = np.arange(8, dtype=np.float32).reshape(2, 2, 2)
     d = downsample2(a)
     assert d.shape == (1, 1, 1)
-    assert abs(float(d) - a.mean()) < 1e-6
+    assert abs(float(d.reshape(())) - a.mean()) < 1e-6
 
 
 def test_plytool_roundtrip(tmp_path, capsys):
