@@ -104,7 +104,8 @@ def cloud_analog_scene(ref, W=320, H=180, spp=48, albedo=1.0,
                        scale=0.10, sun=8.5, g=0.877, max_depth=128,
                        wispiness=1.5, extent=0.43, frequency=4.0,
                        seed=11, ref_mask=True, mask_blur=3,
-                       mask_gamma=1.0, mask_floor=0.15, max_component=25.0):
+                       mask_gamma=1.0, mask_floor=0.15, max_component=25.0,
+                       mask_lum_thin=0.0):
     """Build the procedural cloud-analog Scene under the reference camera.
 
     Photometric knobs (albedo / scale / sun / max_depth /
@@ -124,8 +125,14 @@ def cloud_analog_scene(ref, W=320, H=180, spp=48, albedo=1.0,
     Calibrated devs at these defaults (TPU, spp 48): p50 +0.47,
     p75 +0.61, p90 +0.02, p99-capped mean -0.41, 85-capped mean -0.68.
     The residual -2.3 log2 p99 deficit is the artifact's >p99 glint
-    band (0.24%% of pixels at 6.5..85 — near-direct sun through the
-    WDAS microstructure, which no procedural analog reproduces); the
+    band (0.24%% of pixels at 6.5..85).  Measured dead end
+    (calib13): thinning the density where the artifact is bright
+    (mask_lum_thin 0.5/0.8) does NOT revive the band (p99 dev stays
+    -2.4) — at this sun/camera geometry the scattering angle is ~97
+    deg where HG(0.877) ~ 0.0065, so radiance ~85 cannot come from
+    low-order scattering at a body-matched sun level; the artifact's
+    band implies the real asset's deeply-attenuated body with an
+    exponentially brighter sun, which no analog shaping reaches.  The
     robust capped-mean gate below is therefore the bulk-energy
     statistic, with the 85-capped mean gated looser.
 
@@ -181,6 +188,20 @@ def cloud_analog_scene(ref, W=320, H=180, spp=48, albedo=1.0,
             # light pixels that are exactly black in the artifact
             mimg = np.where(mimg >= mask_floor, mimg, 0.0)
         mimg = np.clip(mimg, 0.0, 1.0) ** mask_gamma
+        if mask_lum_thin > 0.0:
+            # thin the density where the ARTIFACT is bright: the
+            # luminous crown pixels are sunlit low-optical-depth wisps,
+            # so carving density down there lets the analog reproduce
+            # the bright band the occupancy mask alone cannot
+            ln = ref["L"] / max(ref["percentiles"][99], 1e-9)
+            ln = np.sqrt(np.clip(ln, 0.0, 1.0)).astype(np.float32)
+            k5 = np.ones(5) / 5.0
+            for _ in range(2):
+                ln = np.apply_along_axis(
+                    lambda r: np.convolve(r, k5, mode="same"), 1, ln)
+                ln = np.apply_along_axis(
+                    lambda c: np.convolve(c, k5, mode="same"), 0, ln)
+            mimg = mimg * (1.0 - mask_lum_thin * np.clip(ln, 0.0, 1.0))
         nz, ny, nx = dens.shape
         zi, yi, xi = np.meshgrid(
             np.linspace(0, 1, nz), np.linspace(0, 1, ny),
