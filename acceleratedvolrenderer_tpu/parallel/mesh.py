@@ -205,6 +205,7 @@ def make_sharded_regen_renderer(scene, mesh: Mesh, *, n_lanes: int = 4096,
                                 k_substeps: int = 16,
                                 stochastic_filter: bool = False,
                                 retire_groups: int = 1,
+                                accum_spp: bool = False,
                                 axis_name: str = "rays"):
     """Sharded path-regeneration renderer: each device runs the fused regen
     kernel over its contiguous slice of the global (pixel, sample) work
@@ -232,7 +233,13 @@ def make_sharded_regen_renderer(scene, mesh: Mesh, *, n_lanes: int = 4096,
     n_dev = int(np.prod(mesh.devices.shape))
 
     global_total = H * W * spp
-    per_dev = (global_total + n_dev - 1) // n_dev
+    if accum_spp:
+        # in-lane spp accumulation (the r4 production mode): a work item
+        # is a PIXEL, so device slices must be pixel-aligned (the
+        # integrator divides work_base/global_total by spp)
+        per_dev = ((H * W + n_dev - 1) // n_dev) * spp
+    else:
+        per_dev = (global_total + n_dev - 1) // n_dev
     N = int(min(n_lanes, per_dev))
 
     if not homogeneous:
@@ -276,7 +283,7 @@ def make_sharded_regen_renderer(scene, mesh: Mesh, *, n_lanes: int = 4096,
             camera=cam, filter=scene.filter, sampler=scene.sampler,
             spp=spp, H=H, W=W, total_work=per_dev, seed=scene.seed,
             work_base=(dev * per_dev).astype(jnp.int32),
-            global_total=jnp.int32(global_total),
+            global_total=int(global_total),
             sigma_a_fn=sigma_a_fn, sigma_s_fn=sigma_s_fn, Le_fn=Le_fn,
             film_rgb=jnp.zeros((3 * (H * W + 1),)),
             max_component=getattr(scene, "max_component", jnp.inf),
@@ -290,7 +297,7 @@ def make_sharded_regen_renderer(scene, mesh: Mesh, *, n_lanes: int = 4096,
             max_depth=scene.max_depth, scene_radius=scene.scene_radius,
             max_march_steps=iter_cap, rgb_mode=med_spec.rgb,
             k_substeps=k_substeps, stochastic_filter=stochastic_filter,
-            retire_groups=retire_groups,
+            retire_groups=retire_groups, accum_spp=accum_spp,
             prims=tuple(scene.primitives), regen=regen,
             light_strategy=getattr(scene, "light_sampler", "uniform"))
         # the one cross-device reduction: film partials over ICI
@@ -311,14 +318,15 @@ def make_sharded_regen_renderer(scene, mesh: Mesh, *, n_lanes: int = 4096,
 
 
 def render_sharded_regen(scene, mesh: Optional[Mesh] = None,
-                         spp: Optional[int] = None, n_lanes: int = 4096):
+                         spp: Optional[int] = None, n_lanes: int = 4096,
+                         **knobs):
     import time
 
     mesh = mesh or make_mesh()
     spp = spp if spp is not None else scene.spp
     H, W = scene.height, scene.width
     run, density, majorant = make_sharded_regen_renderer(
-        scene, mesh, n_lanes=n_lanes, spp=spp)
+        scene, mesh, n_lanes=n_lanes, spp=spp, **knobs)
     t0 = time.time()
     film = run(density, majorant)
     jax.block_until_ready(film)

@@ -115,3 +115,26 @@ def test_sharded_regen_heterogeneous_with_surfaces():
     assert stats["n_devices"] == 4
     assert np.isfinite(img).all()
     assert np.abs(img - ref).max() < 3e-5, np.abs(img - ref).max()
+
+
+def test_sharded_regen_accum_spp_matches_single():
+    """The r4 production mode (in-lane spp accumulation) on the sharded
+    path: device slices are pixel-aligned, work ids live in pixel units,
+    and the image must match the single-device accum render (identical
+    global (pixel, sample) RNG keying)."""
+    import numpy as np
+
+    from acceleratedvolrenderer_tpu.parallel import mesh as pmesh
+    from acceleratedvolrenderer_tpu.parallel import render as render_mod
+    from acceleratedvolrenderer_tpu.scene import presets
+
+    sc = presets.fog_box(res=16, spp=4)
+    ref, _ = render_mod.render_regen(sc, n_lanes=128, accum_spp=True,
+                                     retire_groups=2)
+    m = pmesh.make_mesh(jax.devices()[:4])
+    img, stats = pmesh.render_sharded_regen(sc, m, n_lanes=64,
+                                            accum_spp=True,
+                                            retire_groups=2)
+    assert stats["n_devices"] == 4
+    assert np.isfinite(img).all()
+    assert np.abs(img - ref).max() < 3e-5, np.abs(img - ref).max()
