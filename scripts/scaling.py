@@ -22,7 +22,7 @@ and reported as collective_s vs compute_s.  On real TPU hardware the same
 split holds (film psum over ICI is microseconds); the multi-chip program
 itself is validated by the driver's dryrun_multichip.
 
-Usage: python scripts/scaling.py [--out SCALING_r03.json] [--res 160]
+Usage: python scripts/scaling.py [--out SCALING_r04.json] [--res 160]
 """
 import argparse
 import json
