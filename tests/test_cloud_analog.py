@@ -65,7 +65,6 @@ def test_masked_density_matches_silhouette(ref):
     assert inside.mean() > 0.95
     # dilated reference mask (the blur band widens the skirt)
     m = ref["mask"]
-    from numpy.lib.stride_tricks import sliding_window_view  # noqa: F401
     md = m.copy()
     for _ in range(3):
         md[1:] |= md[:-1]; md[:-1] |= md[1:]
