@@ -172,6 +172,7 @@ def li(
     max_march_steps: int = 100000,
     k_substeps: int = 8,
     fixed_steps=None,
+    remat_window=None,
     rgb_mode: bool = False,
     prims: tuple = (),
     record_alive: bool = False,
@@ -374,6 +375,15 @@ def li(
         R_cam, R_filt = regen["camera"], regen["filter"]
         R_kind, R_seed = regen["sampler"], regen["seed"]
         R_maxc = regen.get("max_component", jnp.inf)
+        # loss-cotangent mode (differentiable production path at scale):
+        # instead of scatter-adding retired samples into a film, accumulate
+        # sum(cot[pixel] . rgb) into a (1,) scalar.  The film never enters
+        # the loop carry, so windowed rematerialization checkpoints are
+        # ~(H*W)x smaller — the enabler for 720p/256^3 backward passes.
+        # cot is the flat channel-major cotangent (3*(H*W+1),) with zeros
+        # in the discard slots; the mode computes exactly
+        # vjp(film_render, cot) because the film is a pure scatter-add.
+        R_cot = regen.get("loss_cotangent", None)
         # sharded operation: local work ids offset into the global queue
         # (per-device slice under shard_map); items past the global end
         # splat to the discard slot
@@ -1204,10 +1214,14 @@ def li(
             tgt_g = jax.lax.dynamic_slice(tgt, (g * grp_sz,), (grp_sz,))
             rgb_g = jax.lax.dynamic_slice(rgb_m, (g * grp_sz, 0), (grp_sz, 3))
             tgt3 = (tgt_g[:, None] + ch_off).reshape(-1)
-            film_rgb = c.film_rgb.at[tgt3].add(rgb_g.reshape(-1))
+            vals = rgb_g.reshape(-1)
         else:
             tgt3 = (tgt[:, None] + ch_off).reshape(-1)
-            film_rgb = c.film_rgb.at[tgt3].add(rgb_m.reshape(-1))
+            vals = rgb_m.reshape(-1)
+        if R_cot is not None:
+            film_rgb = c.film_rgb + jnp.sum(R_cot[tgt3] * vals)[None]
+        else:
+            film_rgb = c.film_rgb.at[tgt3].add(vals)
 
         # issue the next work items to retiring lanes (rank-ordered)
         rank = jnp.cumsum(done.astype(jnp.int32)) - 1
@@ -1294,10 +1308,14 @@ def li(
             acc_g = jax.lax.dynamic_slice(acc_m, (g * grp_sz, 0),
                                           (grp_sz, 3))
             tgt3 = (tgt_g[:, None] + ch_off).reshape(-1)
-            film_rgb = c.film_rgb.at[tgt3].add(acc_g.reshape(-1))
+            vals = acc_g.reshape(-1)
         else:
             tgt3 = (tgt[:, None] + ch_off).reshape(-1)
-            film_rgb = c.film_rgb.at[tgt3].add(acc_m.reshape(-1))
+            vals = acc_m.reshape(-1)
+        if R_cot is not None:
+            film_rgb = c.film_rgb + jnp.sum(R_cot[tgt3] * vals)[None]
+        else:
+            film_rgb = c.film_rgb.at[tgt3].add(vals)
 
         # ---- respawn: next sample of the same pixel, or fresh work ----
         nxt = fresh & (samp < R_spp)
@@ -1455,7 +1473,25 @@ def li(
         def scan_body(c, _):
             return body(c), None
 
-        end, _ = jax.lax.scan(scan_body, regs, None, length=fixed_steps)
+        if remat_window is not None and int(fixed_steps) > int(remat_window):
+            # two-level (windowed) rematerialization: the outer scan
+            # checkpoints only window-boundary carries, and during the
+            # backward sweep each window is recomputed forward (its inner
+            # per-step checkpoints bounding residuals at carry size) then
+            # reversed.  Memory ~ (S/w + w) * carry instead of S * carry —
+            # minimized near w = sqrt(S), which is what turns the 15k-step
+            # production loop from untraceable into a few-GB backward pass.
+            w_sz = int(remat_window)
+            n_win = -(-int(fixed_steps) // w_sz)
+
+            @jax.checkpoint
+            def window_body(c, _):
+                c2, _ = jax.lax.scan(scan_body, c, None, length=w_sz)
+                return c2, None
+
+            end, _ = jax.lax.scan(window_body, regs, None, length=n_win)
+        else:
+            end, _ = jax.lax.scan(scan_body, regs, None, length=fixed_steps)
     if regen is not None:
         return LiResult(L=end.L, rng=end.rng, film_rgb=end.film_rgb)
     return LiResult(L=end.L, rng=end.rng)

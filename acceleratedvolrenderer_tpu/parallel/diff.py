@@ -212,21 +212,21 @@ def image_and_density_grad(scene, density=None, **kw):
     return float(loss_fn(dens)), np.asarray(grad_fn(dens))
 
 
-def make_diff_regen_renderer(scene, *, fixed_steps: int = 192,
-                             n_lanes: Optional[int] = None, spp: int = 2,
-                             majorant_inflation: float = 1.5):
-    """Differentiable PRODUCTION path: gradients through the film the
-    path-regeneration renderer produces (VERDICT r2 weak #7 — the regen
-    forward program and the differentiable program must not be disjoint).
+def _regen_loss_builder(scene, *, fixed_steps=192, n_lanes=None, spp=2,
+                        majorant_inflation=1.5, accum_spp=False,
+                        k_substeps=8, retire_groups=1,
+                        stochastic_filter=False, remat_window=None,
+                        work_stride=1, slim=True):
+    """Shared core of the differentiable regen path.
 
-    Same program as render.make_regen_renderer (spawn -> fused loop ->
-    film scatter -> respawn) with the while_loop swapped for the bounded
-    rematerialized scan (fixed_steps) so jax.grad works end-to-end;
-    density is the differentiable parameter, sampling side frozen at the
-    build-time field (density_s + frozen majorant), so FD of the loss on
-    shared RNG streams equals AD to float precision.
-
-    Returns (loss_fn(density), grad_fn(density)); loss = mean film rgb.
+    Returns loss_core(density, cot_flat) = sum(cot . film_render(density))
+    — the exact VJP contract of the production film (the film is a pure
+    scatter-add of retired samples, so the dot with a cotangent image
+    commutes with accumulation).  With slim=True the film never enters
+    the loop carry (loss-cotangent mode, see volpath_fused retire stages)
+    which is what makes windowed remat at 720p/256^3 feasible; slim=False
+    keeps the film scatter in-loop (the r2-r4 path, kept as the contract
+    check that both programs produce identical gradients).
     """
     med_spec, maj_res, majorant_const, density_s_const = _diff_setup(
         scene, majorant_inflation)
@@ -235,6 +235,7 @@ def make_diff_regen_renderer(scene, *, fixed_steps: int = 192,
     LANES = sp.N_SPECTRUM_SAMPLES
     total_work = H * W * spp
     N = int(n_lanes or min(4096, total_work))
+    from .render import work_stride_for
 
     def sigma_a_fn(lam):
         return med_spec.sigma_a_spec(lam) * med_spec.scale
@@ -246,8 +247,7 @@ def make_diff_regen_renderer(scene, *, fixed_steps: int = 192,
         return (med_spec.Le_spec(lam) * med_spec.Le_scale
                 if med_spec.Le_spec is not None else jnp.zeros_like(lam))
 
-    @jax.jit
-    def loss_fn(density):
+    def loss_core(density, cot_flat, work_base=None, local_total=None):
         med = dda.MediumArrays(
             density=density, majorant=majorant_const,
             w2m=jnp.asarray(med_spec.world_to_unit(), jnp.float32),
@@ -256,20 +256,212 @@ def make_diff_regen_renderer(scene, *, fixed_steps: int = 192,
             Le=jnp.zeros((LANES,)),
             density_s=density_s_const,
         )
+        lt = total_work if local_total is None else local_total
+        n_here = int(min(N, lt))
         regen = dict(
             camera=cam, filter=scene.filter, sampler=scene.sampler,
-            spp=spp, H=H, W=W, total_work=total_work, seed=scene.seed,
+            spp=spp, H=H, W=W, total_work=lt, seed=scene.seed,
             sigma_a_fn=sigma_a_fn, sigma_s_fn=sigma_s_fn, Le_fn=Le_fn,
-            film_rgb=jnp.zeros((3 * (H * W + 1),)),
+            film_rgb=(jnp.zeros((1,)) if slim
+                      else jnp.zeros((3 * (H * W + 1),))),
+            work_stride=(work_stride_for(H * W) if work_stride == "auto"
+                         else int(work_stride)),
         )
+        if slim:
+            regen["loss_cotangent"] = cot_flat
+        if work_base is not None:
+            regen["work_base"] = work_base
+            regen["global_total"] = total_work
         res = volpath_fused.li(
             med, scene.lights,
-            jnp.zeros((N, 3)), jnp.zeros((N, 3)),
-            jnp.zeros((N, LANES)), jnp.zeros((N,), jnp.uint32),
+            jnp.zeros((n_here, 3)), jnp.zeros((n_here, 3)),
+            jnp.zeros((n_here, LANES)), jnp.zeros((n_here,), jnp.uint32),
             maj_res=maj_res, homogeneous=False,
             max_depth=scene.max_depth, scene_radius=scene.scene_radius,
-            fixed_steps=fixed_steps, regen=regen)
-        img = res.film_rgb.reshape(3, H * W + 1)[:, :H * W] / spp
-        return jnp.mean(img)
+            fixed_steps=fixed_steps, remat_window=remat_window,
+            k_substeps=k_substeps, stochastic_filter=stochastic_filter,
+            retire_groups=retire_groups, accum_spp=accum_spp,
+            regen=regen)
+        if slim:
+            return res.film_rgb[0]
+        return jnp.sum(res.film_rgb * cot_flat)
+
+    return loss_core, (H, W)
+
+
+def mean_loss_cotangent(H, W, spp):
+    """Flat channel-major cotangent for loss = mean(film / spp): every
+    real film element weighs 1/(3*H*W*spp); the per-channel discard slot
+    (out-of-frame / out-of-queue splats) weighs 0."""
+    cot = np.full((3, H * W + 1), 1.0 / (3 * H * W * spp), np.float32)
+    cot[:, H * W] = 0.0
+    return jnp.asarray(cot.reshape(-1))
+
+
+def make_diff_regen_renderer(scene, *, fixed_steps: int = 192,
+                             n_lanes: Optional[int] = None, spp: int = 2,
+                             majorant_inflation: float = 1.5,
+                             accum_spp: bool = False,
+                             k_substeps: int = 8, retire_groups: int = 1,
+                             stochastic_filter: bool = False,
+                             remat_window: Optional[int] = None,
+                             work_stride=1, slim: bool = True):
+    """Differentiable PRODUCTION path: gradients through the film the
+    path-regeneration renderer produces (VERDICT r2 weak #7 — the regen
+    forward program and the differentiable program must not be disjoint).
+
+    Same program as render.make_regen_renderer (spawn -> fused loop ->
+    film retire -> respawn, including the accum_spp in-lane spp
+    accumulation production mode) with the while_loop swapped for the
+    bounded rematerialized scan (fixed_steps; remat_window enables the
+    two-level checkpointing that makes 720p/256^3-scale backward passes
+    fit in HBM); density is the differentiable parameter, sampling side
+    frozen at the build-time field (density_s + frozen majorant), so FD
+    of the loss on shared RNG streams equals AD to float precision.
+
+    Returns (loss_fn(density), grad_fn(density)); loss = mean film rgb.
+    """
+    loss_core, (H, W) = _regen_loss_builder(
+        scene, fixed_steps=fixed_steps, n_lanes=n_lanes, spp=spp,
+        majorant_inflation=majorant_inflation, accum_spp=accum_spp,
+        k_substeps=k_substeps, retire_groups=retire_groups,
+        stochastic_filter=stochastic_filter, remat_window=remat_window,
+        work_stride=work_stride, slim=slim)
+    cot = mean_loss_cotangent(H, W, spp)
+
+    @jax.jit
+    def loss_fn(density):
+        return loss_core(density, cot)
 
     return loss_fn, jax.jit(jax.grad(loss_fn))
+
+
+def make_regen_film_vjp(scene, **kw):
+    """Pixel-gradient VJP of the production regen film: returns
+    vjp_fn(density, image_cot) -> d(sum(image_cot . film)) / d(density)
+    for an arbitrary (H, W, 3) cotangent image — the BASELINE 'pixel
+    gradients w.r.t. density voxels' contract at the film level (any
+    single-pixel one-hot cotangent gives that pixel's voxel gradients).
+    """
+    loss_core, (H, W) = _regen_loss_builder(scene, slim=True, **kw)
+
+    @jax.jit
+    def vjp_fn(density, image_cot):
+        cot = jnp.concatenate(
+            [image_cot.reshape(H * W, 3).T,
+             jnp.zeros((3, 1), image_cot.dtype)], axis=1).reshape(-1)
+        return jax.grad(loss_core)(density, cot)
+
+    return vjp_fn
+
+
+def make_sharded_regen_grad(scene, mesh, *, fixed_steps: int,
+                            n_lanes: int = 4096, spp: int = 2,
+                            microbatches: int = 2,
+                            majorant_inflation: float = 1.5,
+                            accum_spp: bool = True,
+                            k_substeps: int = 8, retire_groups: int = 1,
+                            stochastic_filter: bool = False,
+                            remat_window: Optional[int] = None,
+                            overlap: bool = True,
+                            axis_name: str = "rays"):
+    """Multi-chip gradient of the PRODUCTION regen loss with the grad
+    all-reduce overlapped with the backward sweep (BASELINE north star:
+    'replicated density-grid parameter gradients all-reduce over ICI
+    overlapped with the backward sweep').
+
+    Each device renders its contiguous slice of the global pixel queue;
+    the slice is split into `microbatches` independent regen programs.
+    As soon as microbatch m's backward sweep produces its density
+    cotangent, that full-grid partial gradient REDUCE-SCATTERS over the
+    mesh (lax.psum_scatter) while microbatch m+1's forward+backward is
+    still computing — XLA's async collectives let the scatter ride ICI
+    concurrently, hiding the 67 MB/microbatch reduction behind compute.
+    Each device accumulates only its 1/n_dev gradient shard (ZeRO-style),
+    which is also the natural layout for a sharded optimizer step.
+
+    overlap=False keeps one terminal psum of the fully-accumulated local
+    gradient instead (the r4 pattern) — the A/B for the collective-
+    placement measurement and the equality test.
+
+    Returns loss_and_grad(density) -> (loss, grad):
+      overlap=True  -> grad is this device's flat shard, shape
+                       (ceil(n_vox/n_dev),) per device (global view:
+                       (n_dev*shard,) — np.asarray and reshape to compare)
+      overlap=False -> grad is the replicated full grid.
+    RNG streams key on global (pixel, sample): the summed loss and
+    gradient are device-count- and microbatch-count-invariant (up to
+    float add order).
+    """
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:          # older jax
+        from jax.experimental.shard_map import shard_map
+
+    H, W = scene.camera.height, scene.camera.width
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n_items = H * W          # accum_spp: a work item is a pixel
+    if not accum_spp:
+        n_items = H * W * spp
+    assert n_items % (n_dev * microbatches) == 0, (
+        f"work items {n_items} must divide over {n_dev} devices x "
+        f"{microbatches} microbatches")
+    per_dev = n_items // n_dev
+    per_mb = per_dev // microbatches
+    unit = spp if accum_spp else 1   # work_base is in (pixel, sample) units
+
+    loss_core, _ = _regen_loss_builder(
+        scene, fixed_steps=fixed_steps, n_lanes=n_lanes, spp=spp,
+        majorant_inflation=majorant_inflation, accum_spp=accum_spp,
+        k_substeps=k_substeps, retire_groups=retire_groups,
+        stochastic_filter=stochastic_filter, remat_window=remat_window,
+        slim=True)
+    cot = mean_loss_cotangent(H, W, spp)
+    med_spec = scene.medium
+    n_vox = int(np.prod(med_spec.density.shape))
+    shard_len = -(-n_vox // n_dev)
+    pad = n_dev * shard_len - n_vox
+
+    def local_loss_grad(density):
+        dev = jax.lax.axis_index(axis_name)
+        loss_acc = jnp.float32(0.0)
+        g_acc = (jnp.zeros((shard_len,), jnp.float32) if overlap
+                 else jnp.zeros(density.shape, jnp.float32))
+        for m in range(microbatches):
+            base = ((dev * per_dev + m * per_mb) * unit).astype(jnp.int32)
+
+            def mb_loss(d, base=base):
+                return loss_core(d, cot, work_base=base,
+                                 local_total=per_mb * unit)
+
+            lm, vjp_fn = jax.vjp(mb_loss, density)
+            (gm,) = vjp_fn(jnp.float32(1.0))
+            loss_acc = loss_acc + lm
+            if overlap:
+                gm_flat = gm.reshape(-1)
+                if pad:
+                    gm_flat = jnp.concatenate(
+                        [gm_flat, jnp.zeros((pad,), gm_flat.dtype)])
+                # reduce-scatter THIS microbatch's partial gradient now:
+                # issued mid-sweep, XLA schedules it async so it overlaps
+                # microbatch m+1's compute
+                g_acc = g_acc + jax.lax.psum_scatter(
+                    gm_flat.reshape(n_dev, shard_len), axis_name,
+                    scatter_dimension=0)
+            else:
+                g_acc = g_acc + gm
+        loss = jax.lax.psum(loss_acc, axis_name)
+        if not overlap:
+            g_acc = jax.lax.psum(g_acc, axis_name)
+        return loss, g_acc
+
+    out_grad_spec = P(axis_name) if overlap else P()
+    try:
+        smapped = shard_map(local_loss_grad, mesh=mesh, in_specs=(P(),),
+                            out_specs=(P(), out_grad_spec), check_vma=False)
+    except TypeError:            # older jax spells it check_rep
+        smapped = shard_map(local_loss_grad, mesh=mesh, in_specs=(P(),),
+                            out_specs=(P(), out_grad_spec), check_rep=False)
+
+    return jax.jit(smapped)

@@ -265,3 +265,102 @@ def test_regen_film_grad_matches_fd():
         # per-ray wave losses (which gate at 0.2%)
         assert abs(fd - ad) <= 1e-2 * max(abs(fd), abs(ad), 1e-3), (
             f"voxel {(iz, iy, ix)}: fd={fd} ad={ad}")
+
+
+def test_regen_accum_spp_grad_matches_fd():
+    """VERDICT r4 #1c: FD-gate a gradient through the PRODUCTION
+    accum_spp mode (in-lane spp accumulation + grouped retirement) with
+    the two-level windowed rematerialization enabled."""
+    scene = small_scene()
+    loss_fn, grad_fn = diff_mod.make_diff_regen_renderer(
+        scene, fixed_steps=192, n_lanes=24, spp=2, accum_spp=True,
+        retire_groups=2, remat_window=32)
+    dens = jnp.asarray(scene.medium.density)
+    g = np.asarray(grad_fn(dens))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0.0, "gradient identically zero"
+
+    eps = 2e-3
+    flat_idx = np.argsort(np.abs(g).reshape(-1))[::-1]
+    for fi in flat_idx[[0, 7]]:
+        iz, iy, ix = np.unravel_index(fi, g.shape)
+        e = np.zeros_like(np.asarray(dens))
+        e[iz, iy, ix] = eps
+        fd = (float(loss_fn(dens + jnp.asarray(e)))
+              - float(loss_fn(dens - jnp.asarray(e)))) / (2 * eps)
+        ad = g[iz, iy, ix]
+        assert abs(fd - ad) <= 1e-2 * max(abs(fd), abs(ad), 1e-3), (
+            f"voxel {(iz, iy, ix)}: fd={fd} ad={ad}")
+
+
+def test_regen_slim_loss_matches_film_scatter():
+    """The slim loss-cotangent retire mode (film never enters the loop
+    carry) must produce the identical loss and gradient as the in-loop
+    film scatter-add it replaces."""
+    scene = small_scene()
+    dens = jnp.asarray(scene.medium.density)
+    vals, grads = [], []
+    for slim in (True, False):
+        loss_fn, grad_fn = diff_mod.make_diff_regen_renderer(
+            scene, fixed_steps=160, n_lanes=24, spp=2, slim=slim)
+        vals.append(float(loss_fn(dens)))
+        grads.append(np.asarray(grad_fn(dens)))
+    np.testing.assert_allclose(vals[0], vals[1], rtol=1e-6)
+    np.testing.assert_allclose(grads[0], grads[1], rtol=1e-5, atol=1e-9)
+
+
+def test_regen_film_vjp_matches_mean_grad():
+    """make_regen_film_vjp with the uniform mean-loss cotangent equals
+    the mean-loss gradient; a one-hot pixel cotangent isolates that
+    pixel's voxel gradients (pixel-gradient contract at the film level)."""
+    scene = small_scene()
+    dens = jnp.asarray(scene.medium.density)
+    H = W = 6
+    vjp_fn = diff_mod.make_regen_film_vjp(
+        scene, fixed_steps=160, n_lanes=24, spp=2)
+    _, grad_fn = diff_mod.make_diff_regen_renderer(
+        scene, fixed_steps=160, n_lanes=24, spp=2)
+    cot_mean = jnp.full((H, W, 3), 1.0 / (3 * H * W * 2))
+    np.testing.assert_allclose(np.asarray(vjp_fn(dens, cot_mean)),
+                               np.asarray(grad_fn(dens)),
+                               rtol=1e-5, atol=1e-10)
+    # one-hot pixel cotangent: nonzero, finite, and differs from the mean
+    cot_px = jnp.zeros((H, W, 3)).at[2, 3, :].set(1.0)
+    g_px = np.asarray(vjp_fn(dens, cot_px))
+    assert np.isfinite(g_px).all() and np.abs(g_px).max() > 0
+
+
+def test_sharded_regen_grad_overlap_matches_single():
+    """VERDICT r4 #1d: the microbatched reduce-scatter gradient (the
+    collective issued per microbatch, mid-backward-sweep) equals the
+    terminal-psum gradient and the single-device gradient."""
+    import jax as _jax
+    from jax.sharding import Mesh
+
+    scene = small_scene()
+    scene.camera = PerspectiveCamera(
+        c2w=vm.look_at((0.5, 0.5, -2.5), (0.5, 0.5, 0.5), (0, 1, 0)),
+        fov_deg=30.0, width=8, height=8)
+    dens = jnp.asarray(scene.medium.density)
+    kw = dict(fixed_steps=192, n_lanes=16, spp=2, accum_spp=True,
+              microbatches=2, remat_window=48)
+    # single device runs 64 pixels through 16 lanes (4 refills) — needs a
+    # larger step budget than the sharded slices (8 work items/device)
+    loss1, grad1 = diff_mod.make_diff_regen_renderer(
+        scene, fixed_steps=448, n_lanes=16, spp=2, accum_spp=True,
+        remat_window=48)
+    g1 = np.asarray(grad1(dens))
+    l1 = float(loss1(dens))
+
+    mesh = Mesh(np.array(_jax.devices()[:8]), ("rays",))
+    lg_overlap = diff_mod.make_sharded_regen_grad(
+        scene, mesh, overlap=True, **kw)
+    lg_terminal = diff_mod.make_sharded_regen_grad(
+        scene, mesh, overlap=False, **kw)
+    lo, go = lg_overlap(dens)
+    lt, gt = lg_terminal(dens)
+    go = np.asarray(go).reshape(-1)[:g1.size].reshape(g1.shape)
+    np.testing.assert_allclose(float(lo), l1, rtol=1e-5)
+    np.testing.assert_allclose(float(lt), l1, rtol=1e-5)
+    np.testing.assert_allclose(go, g1, rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gt), g1, rtol=1e-4, atol=1e-8)
