@@ -93,6 +93,12 @@ def main(argv=None):
     ap.add_argument("--no-nvdb-leg", action="store_true",
                     help="skip the compressed-asset ingestion leg "
                          "(256^3 BLOSC .nvdb through the full pipeline)")
+    ap.add_argument("--no-backward", action="store_true",
+                    help="skip the production-scale gradient leg")
+    ap.add_argument("--bw-spp", type=int, default=4)
+    ap.add_argument("--bw-scale", type=int, default=2,
+                    help="resolution divisor for the backward leg "
+                         "(2 = 640x360 quarter-res)")
     args = ap.parse_args(argv)
 
     import jax
@@ -207,6 +213,60 @@ def main(argv=None):
             "nvdb_bytes": os.path.getsize(nvdb_path),
             "grid_voxels": int(dens0.size),
             "io_write_s": round(t_write, 2), "io_read_s": round(t_read, 2),
+        }
+
+    if not args.no_backward and not args.grid:
+        # production-scale BACKWARD pass (VERDICT r4 #1): d(mean film)/
+        # d(256^3 density voxels) through the production regen program
+        # (accum_spp, grouped retirement, Pallas march) — the while_loop
+        # swapped for the two-level windowed-remat scan, the film replaced
+        # by the loss-cotangent retire so checkpoints stay carry-sized.
+        # Reported as rays/s of the differentiated workload (each ray's
+        # forward AND backward sweep).
+        from acceleratedvolrenderer_tpu.parallel import diff as diff_mod
+
+        bw_w, bw_h = width // args.bw_scale, height // args.bw_scale
+        bw_spp = args.bw_spp
+        bw_scene = presets.cloud(width=bw_w, height=bw_h, spp=bw_spp,
+                                 max_depth=16)
+        bw_scene.max_march_steps = 4096
+        bw_lanes, bw_groups = 8192, 8
+        bw_knobs = dict(k_substeps=8, stochastic_filter=True,
+                        accum_spp=True, retire_groups=bw_groups,
+                        n_lanes=bw_lanes)
+        run_b, dens_b, maj_b = render_mod.make_regen_renderer(
+            bw_scene, spp=bw_spp, record_alive=True, work_stride="auto",
+            **bw_knobs)
+        _, hist = run_b(dens_b, maj_b,
+                        jnp.zeros((3 * (bw_h * bw_w + 1),)))
+        iters = int((np.asarray(hist) > 0).sum())
+        bw_steps = int(iters * 1.12) + 16
+        bw_window = max(int(np.sqrt(bw_steps)), 16)
+        loss_fn, grad_fn = diff_mod.make_diff_regen_renderer(
+            bw_scene, fixed_steps=bw_steps, n_lanes=bw_lanes, spp=bw_spp,
+            accum_spp=True, retire_groups=bw_groups, k_substeps=8,
+            stochastic_filter=True, remat_window=bw_window,
+            work_stride="auto")
+        dens = jnp.asarray(bw_scene.medium.density, jnp.float32)
+        g = grad_fn(dens)
+        jax.block_until_ready(g)
+        gd = []
+        for _ in range(3):
+            t0 = time.time()
+            g = grad_fn(dens)
+            jax.block_until_ready(g)
+            gd.append(time.time() - t0)
+        bw_dt = sorted(gd)[len(gd) // 2]
+        bw_rays = bw_w * bw_h * bw_spp
+        out["backward"] = {
+            "metric": "grad_density_mrays_per_sec_per_chip",
+            "value": round(bw_rays / bw_dt / 1e6, 4), "unit": "Mrays/s",
+            "grad_step_s": round(bw_dt, 3),
+            "width": bw_w, "height": bw_h, "spp": bw_spp,
+            "grid": list(np.asarray(dens).shape),
+            "fixed_steps": bw_steps, "remat_window": bw_window,
+            "grad_finite": bool(jnp.isfinite(g).all()),
+            "grad_max": float(jnp.abs(g).max()),
         }
 
     if not args.no_occupancy:
