@@ -876,8 +876,12 @@ def li(
             alpha_hit = alpha_arr[mid]
             eta_m = diel_eta_arr[mid]
             is_cond_l = cond_mask_arr[mid]
-            # local shading frame on the face-forward normal
-            sbx, sby, sbz = vmu.frame_from_z(n_f)
+            # local shading frame on the TRUE geometric normal (path.py's
+            # convention): the microfacet lobes are two-sided sign-aware,
+            # and a dielectric's eta side-assignment (etap = cos_o > 0 ?
+            # eta : 1/eta) requires the frame orientation to be a property
+            # of the SURFACE, not of which side the ray came from
+            sbx, sby, sbz = vmu.frame_from_z(c.n_surf)
             wo_sl = vmu.to_local(sbx, sby, sbz, wo_s)
 
         # =========== NEE SETUP (volume scatter or surface bounce) ===========
@@ -926,7 +930,16 @@ def li(
                 f_spec = jnp.where(do_rough[:, None], f_r_nee, f_spec)
                 spdf_d = jnp.where(do_rough, p_r_nee, spdf_d)
                 rough_nee_ok = (p_r_nee > 0) & jnp.any(f_r_nee > 0, -1)
-            occl = shapes_mod.occluded(opaque, p_vertex, ls.wi, ls.dist)
+            # occlusion origin is SIDE-AWARE (pbrt SpawnRayTo offsets along
+            # sign(dot(n, wi))): a transmitted NEE direction (rough
+            # dielectric / diffuse-transmission, light behind the surface)
+            # must start on the light's side or the surface occludes
+            # itself — path.py:489 had this right, the fused path did not
+            side = jnp.where(vmu.dot(c.n_surf, ls.wi) > 0,
+                             _SURF_EPS, -_SURF_EPS)
+            p_occl = jnp.where((do_surf | do_rough)[:, None],
+                               p_hit + c.n_surf * side[:, None], p_vertex)
+            occl = shapes_mod.occluded(opaque, p_occl, ls.wi, ls.dist)
             extra_ok = jnp.where(
                 do_surf, cos_l > 0,
                 jnp.where(do_rough, rough_nee_ok, f_hat_d > 0)) & ~occl
@@ -1039,8 +1052,11 @@ def li(
                     res_rough[:, None],
                     f_rs * (cos_rs / jnp.maximum(pdf_rs, 1e-30))[:, None],
                     f_over)
-                # transmitted lanes continue on the far side of the surface
-                trans_rough = res_rough & (wi_rl[..., 2] < 0)
+                # transmitted lanes continue on the far side of the
+                # surface (true-normal frame: transmission = the sampled
+                # wi crossing to the opposite hemisphere from wo)
+                trans_rough = res_rough & (wi_rl[..., 2]
+                                           * wo_sl[..., 2] < 0)
         else:
             f_over = p_theta[:, None] / jnp.maximum(ps_pdf, 1e-30)[:, None]
 

@@ -116,6 +116,78 @@ def run(res=160, spp=8, n_lanes=2048, repeats=3, device_counts=(1, 2, 4, 8)):
         print(f"weak   devices={n} t={weak[n]:.3f}s "
               f"(work x{n})", flush=True)
 
+    # ---- weak-leg attribution (VERDICT r4 weak #6): how much of the
+    # step-time ratio at N=2 is sharding vs plain host contention?  Run
+    # TWO INDEPENDENT unsharded single-device programs concurrently (one
+    # per virtual device, async dispatch, join) — no mesh, no collective,
+    # same total work as weak N=2.  If that concurrent ratio matches the
+    # sharded weak ratio, the overhead is host compute contention
+    # (2 cores running 2 programs + XLA:CPU intra-op pools fighting), not
+    # anything the sharded program adds. ----
+    from acceleratedvolrenderer_tpu.parallel import render as render_mod
+    scene_1 = presets.sphere_medium(res=res, height=res, spp=spp,
+                                    max_depth=6)
+    run_u, dens_u, maj_u = render_mod.make_regen_renderer(
+        scene_1, spp=spp, n_lanes=n_lanes)
+    film0 = np.zeros((3 * (H * W + 1),), np.float32)
+    dev_runs = [(jax.device_put(dens_u, d), jax.device_put(maj_u, d), d)
+                for d in devs[:2]]
+    jax.block_until_ready([run_u(dd, md, jax.device_put(film0, d))
+                           for dd, md, d in dev_runs])   # compile + warm
+    t0 = time.time()
+    outs = [run_u(dd, md, jax.device_put(film0, d)) for dd, md, d in dev_runs]
+    jax.block_until_ready(outs)
+    concurrent2 = time.time() - t0
+
+    # ---- gradient leg (VERDICT r4 #1d): the microbatched reduce-scatter
+    # gradient (collective issued per microbatch, mid-backward-sweep) vs
+    # the terminal-psum gradient on the full 8-device mesh, plus the
+    # direct cost of each collective shape.  On this CPU mesh collectives
+    # are memcpys and nothing overlaps — the numbers here validate the
+    # PROGRAM (equality + structural cost accounting); the overlap itself
+    # is an XLA async-collective scheduling property of real ICI. ----
+    from acceleratedvolrenderer_tpu.parallel import diff as diff_mod
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n8 = device_counts[-1]
+    m8 = Mesh(np.array(devs[:n8]), ("rays",))
+    gres, gspp, gmb = 32, 2, 2
+    gscene = presets.cloud(width=gres, height=gres, spp=gspp, max_depth=8,
+                           grid_res=128)
+    gscene.max_march_steps = 4096
+    dens_g = jax.numpy.asarray(gscene.medium.density)
+    gkw = dict(fixed_steps=384, n_lanes=256, spp=gspp, accum_spp=True,
+               microbatches=gmb, remat_window=64)
+    grad_times = {}
+    grads = {}
+    for name, overlap in (("overlap_reduce_scatter", True),
+                          ("terminal_psum", False)):
+        lg = diff_mod.make_sharded_regen_grad(gscene, m8, overlap=overlap,
+                                              **gkw)
+        jax.block_until_ready(lg(dens_g))
+        grad_times[name] = _best_time(lambda: lg(dens_g), repeats)
+        _, g = lg(dens_g)
+        grads[name] = np.asarray(g).reshape(-1)[:dens_g.size]
+        print(f"grad   {name} t={grad_times[name]:.3f}s", flush=True)
+    grads_agree = bool(np.allclose(grads["overlap_reduce_scatter"],
+                                   grads["terminal_psum"],
+                                   rtol=1e-4, atol=1e-8))
+    # direct collective costs at the gradient's shapes
+    n_vox = int(dens_g.size)
+    shard_len = -(-n_vox // n8)
+
+    def _rs(v):
+        return jax.lax.psum_scatter(v.reshape(n8, shard_len), "rays",
+                                    scatter_dimension=0)
+
+    f_rs = jax.jit(shard_map(_rs, mesh=m8, in_specs=P(), out_specs=P("rays"),
+                             check_vma=False))
+    xg = np.ones((n8 * shard_len,), np.float32)
+    jax.block_until_ready(f_rs(xg))
+    rs_cost = _best_time(lambda: f_rs(xg), repeats)
+    psum_full_cost = _psum_cost(m8, n_vox)
+
     t1 = strong[device_counts[0]]
     w1 = weak[device_counts[0]]
     out = {
@@ -153,13 +225,47 @@ def run(res=160, spp=8, n_lanes=2048, repeats=3, device_counts=(1, 2, 4, 8)):
         "images_agree_3e5": all(
             bool(np.allclose(imgs[device_counts[0]], imgs[n], atol=3e-5))
             for n in device_counts[1:]),
+        "weak_attribution": {
+            "definition": "two INDEPENDENT unsharded single-device "
+                          "programs dispatched concurrently on 2 virtual "
+                          "devices (no mesh, no collectives) vs T(1) — "
+                          "isolates host compute contention from "
+                          "sharding cost in the weak N=2 ratio",
+            "concurrent_unsharded_2dev_s": concurrent2,
+            "concurrent_unsharded_ratio": concurrent2 / w1,
+            "sharded_weak_ratio_n2": weak.get(2, float("nan")) / w1,
+        },
+        "grad": {
+            "definition": "sharded production-regen gradient on the "
+                          f"8-device mesh ({gres}x{gres} film, 128^3 "
+                          f"grid, spp={gspp}, {gmb} microbatches): "
+                          "per-microbatch psum_scatter (issued mid-"
+                          "backward-sweep, sharded grad out) vs one "
+                          "terminal psum of the full grid.  CPU mesh "
+                          "validates program + cost structure; actual "
+                          "compute/collective overlap is an async-"
+                          "collective property of real ICI",
+            "times_s": grad_times,
+            "grads_agree": grads_agree,
+            "collective_direct_s": {
+                "psum_scatter_per_microbatch": rs_cost,
+                "psum_full_grid": psum_full_cost,
+                "overlap_total_collective": rs_cost * gmb,
+            },
+            "collective_fraction_pct": {
+                "overlap_reduce_scatter": 100.0 * rs_cost * gmb
+                / grad_times["overlap_reduce_scatter"],
+                "terminal_psum": 100.0 * psum_full_cost
+                / grad_times["terminal_psum"],
+            },
+        },
     }
     return out
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SCALING_r04.json")
+    ap.add_argument("--out", default="SCALING_r05.json")
     ap.add_argument("--res", type=int, default=160)
     ap.add_argument("--spp", type=int, default=8)
     args = ap.parse_args(argv)

@@ -192,3 +192,60 @@ def test_bdpt_rough_conductor_vertices_vs_path():
     ar, br = a.reshape(-1), b.reshape(-1)
     corr = np.corrcoef(ar, br)[0, 1]
     assert corr > 0.95, corr
+
+
+def test_bdpt_rough_glass_slab_adjoint_vs_path():
+    """TransportMode-correct connection f (VERDICT r4 #5, pbrt Vertex::f
+    with TransportMode::Importance): a vertical ROUGH dielectric slab
+    with the sun behind it and the camera in front — the dominant family
+    is single-transmission through the slab, sampled by BOTH integrators:
+    the forward path via NEE at the slab vertex (radiance-convention f,
+    with the side-aware occlusion origin) and BDPT additionally via the
+    t=1 light-tracing splat whose slab vertex evaluates IMPORTANCE-
+    transport f (etap^2 on transmitted lanes, cancelling the radiance
+    1/etap^2).  Checks:
+      * weighted BDPT total == forward path render;
+      * unweighted (1,2) == unweighted (2,1) — the two strategies
+        estimate the SAME integral, and without the adjoint factor the
+        splat strategy is off by exactly etap^2 ~ 2.25 (measured ratio
+        0.97 with the fix, ~2.4 without);
+    also regression-guards the true-normal BSDF frame (a face-forwarded
+    frame makes the two subpaths disagree about which side the glass
+    is on)."""
+    from acceleratedvolrenderer_tpu.models.materials import DielectricMaterial
+    from acceleratedvolrenderer_tpu.models.shapes import Quad
+    from acceleratedvolrenderer_tpu.parallel import render as render_mod
+
+    slab = Quad(origin=np.array([0.0, -4.0, -4.0]),
+                e1=np.array([0.0, 8.0, 0.0]), e2=np.array([0.0, 0.0, 8.0]),
+                material=DielectricMaterial(eta=1.5, roughness=0.4))
+    med = homogeneous_box(flat(0.0), flat(0.002), lo=(-2, -2, -2),
+                          hi=(2, 2, 2))
+    cam = PerspectiveCamera(
+        c2w=vm.look_at((-1.5, 0.3, 0.0), (0.0, 0.3, 0.0), (0, 1, 0)),
+        fov_deg=40.0, width=10, height=10)
+    sun_dir = np.array([-1.0, -0.25, 0.15])
+    sun_dir /= np.linalg.norm(sun_dir)
+    scene = Scene(
+        camera=cam, medium=med,
+        lights=[lm.DistantLight(direction=sun_dir, spectrum=flat(3.0),
+                                scene_radius=20.0)],
+        primitives=[slab], max_depth=4, filter=BoxFilter(), spp=64,
+        scene_radius=20.0)
+
+    img_b, _, strat = bdpt.render_bdpt(scene, max_depth=4, spp=128,
+                                       keep_strategies=True)
+    img_p, _ = render_mod.render(scene)
+    a, b = lum(np.asarray(img_b)), lum(np.asarray(img_p))
+    assert b.mean() > 0
+    rel = abs(a.mean() - b.mean()) / max(b.mean(), 1e-9)
+    assert rel < 0.08, (a.mean(), b.mean())
+    corr = np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1]
+    assert corr > 0.97, corr
+    u12 = lum(np.asarray(strat[(1, 2)])).mean()
+    u21 = lum(np.asarray(strat[(2, 1)])).mean()
+    assert u12 > 0 and u21 > 0
+    ratio = u21 / u12
+    assert 0.75 < ratio < 1.35, (
+        f"adjoint identity violated: (2,1)/(1,2) = {ratio} "
+        "(~2.25 when the importance-transport etap^2 is missing)")
