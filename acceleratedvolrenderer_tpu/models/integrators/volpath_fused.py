@@ -84,6 +84,10 @@ class LiResult(NamedTuple):
     #   loop iteration when record_alive=True (occupancy diagnostics — the
     #   TPU analogue of the reference's STAT_ counters)
     film_rgb: jnp.ndarray | None = None     # (3*(H*W+1),) in regen mode
+    ev_counts: jnp.ndarray | None = None    # (2,) [main, shadow] collision
+    #   totals when count_events=True (profile-driven design input: the
+    #   event mix determines which sampler the residual-tracking lever
+    #   can shorten)
 
 
 class _Regs(NamedTuple):
@@ -140,6 +144,9 @@ class _Regs(NamedTuple):
     spdf_d: jnp.ndarray      # (N,) sampling-side scatter pdf at the NEE dir
     is_delta: jnp.ndarray    # (N,) bool
     n_steps: jnp.ndarray     # scalar
+    ev_counts: jnp.ndarray   # (2,) int32 [main, shadow] collision totals
+    #   (count_events=True; (2,) zeros otherwise — the adds compile away
+    #   unused)
     # regeneration state (regen mode only; (1,)/scalar dummies otherwise)
     work: jnp.ndarray        # (N,) int32 current work item, -1 = none
     cursor: jnp.ndarray      # scalar int32 next unissued work item
@@ -185,6 +192,7 @@ def li(
     event_groups: int = 1,
     external_loop: bool = False,
     light_strategy: str = "uniform",
+    count_events: bool = False,
 ) -> LiResult:
     N = o.shape[0]
     LANES = lam.shape[-1]
@@ -505,6 +513,7 @@ def li(
         spdf_d=jnp.zeros((N,), f32),
         is_delta=jnp.zeros((N,), bool),
         n_steps=jnp.int32(0),
+        ev_counts=jnp.zeros((2,), jnp.int32),
         work=work_init, cursor=cursor_init,
         film_rgb=film_rgb0,
         samp=samp_init, rgb_acc=rgb_acc_init,
@@ -1155,8 +1164,14 @@ def li(
                               jnp.where(col_s & ~shadow_dead, dl_new2, c.dl_target))
         dl_since = jnp.where(col_any, 0.0, c.dl_since)
 
+        ev_new = c.ev_counts
+        if count_events:
+            ev_new = c.ev_counts + jnp.stack(
+                [jnp.sum(col_m, dtype=jnp.int32),
+                 jnp.sum(col_s, dtype=jnp.int32)])
         c2 = c._replace(
             pc=pc, depth=depth, rng=rng,
+            ev_counts=ev_new,
             d_main=d_new,
             at_surface=jnp.where(
                 nee_valid, (do_surf | do_rough) if has_surf else False,
@@ -1390,7 +1405,8 @@ def li(
     # retire still run full-width — spp16/g16: 15.6 -> 10.3 (E=2) -> 6.4
     # (E=4) Mrays/s.  Kept as an opt-in for long-mean-free-path scenes
     # where marches per event >> 1.
-    _EVENT_SLICED = ("n_steps", "cursor", "film_rgb")   # pass-through
+    _EVENT_SLICED = ("n_steps", "cursor", "film_rgb", "ev_counts")
+    # pass-through (scalars/global state the lane-slice must not cut)
 
     def sliced_events(c: _Regs) -> _Regs:
         assert N % event_groups == 0
@@ -1407,7 +1423,8 @@ def li(
             f: jax.lax.dynamic_update_slice_in_dim(
                 getattr(c, f), getattr(sub, f), start, 0)
             for f in c._fields if f not in _EVENT_SLICED},
-            n_steps=sub.n_steps, cursor=sub.cursor, film_rgb=sub.film_rgb)
+            n_steps=sub.n_steps, cursor=sub.cursor, film_rgb=sub.film_rgb,
+            ev_counts=sub.ev_counts)
 
     def cond(c: _Regs):
         busy = jnp.any(c.pc != PC_DONE)
@@ -1479,7 +1496,8 @@ def li(
 
         end, hist = jax.lax.while_loop(cond_h, body_h, (regs, hist0))
         return LiResult(L=end.L, rng=end.rng, alive_hist=hist,
-                        film_rgb=end.film_rgb if regen is not None else None)
+                        film_rgb=end.film_rgb if regen is not None else None,
+                        ev_counts=end.ev_counts if count_events else None)
 
     if fixed_steps is None:
         end = jax.lax.while_loop(cond, body, regs)
@@ -1509,5 +1527,7 @@ def li(
         else:
             end, _ = jax.lax.scan(scan_body, regs, None, length=fixed_steps)
     if regen is not None:
-        return LiResult(L=end.L, rng=end.rng, film_rgb=end.film_rgb)
-    return LiResult(L=end.L, rng=end.rng)
+        return LiResult(L=end.L, rng=end.rng, film_rgb=end.film_rgb,
+                        ev_counts=end.ev_counts if count_events else None)
+    return LiResult(L=end.L, rng=end.rng,
+                    ev_counts=end.ev_counts if count_events else None)

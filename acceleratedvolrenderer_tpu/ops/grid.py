@@ -134,6 +134,41 @@ def build_majorant_grid(density: np.ndarray, res=(16, 16, 16)) -> np.ndarray:
     return out
 
 
+def build_minorant_grid(density: np.ndarray, res=(16, 16, 16)) -> np.ndarray:
+    """Host-side MINORANT build: per-cell min density over the same
+    continuous cell bounds as build_majorant_grid (MaxValue -> MinValue,
+    the control grid of residual ratio tracking / decomposition tracking,
+    Novák et al. 2014 / Kutz et al. 2017; the reference's machinery at
+    media.h:105-133 only tracks the max — the minorant is the TPU-side
+    estimator lever that cuts shadow-segment collision rates to
+    (majorant - minorant)).
+
+    Any trilerp (or stochastic-corner 1-tap) evaluation inside cell c is
+    a convex combination of sample values within the cell's index range,
+    so min over that range is a true lower bound.
+    """
+    density = np.asarray(density, np.float32)
+    rx, ry, rz = res
+    nz, ny, nx = density.shape
+
+    def axis_ranges(r, nn):
+        c = np.arange(r)
+        lo = np.maximum(np.floor(c / r * nn - 0.5).astype(np.int64), 0)
+        hi = np.minimum(np.floor((c + 1) / r * nn - 0.5).astype(np.int64) + 1,
+                        nn - 1)
+        return lo, hi
+
+    lox, hix = axis_ranges(rx, nx)
+    loy, hiy = axis_ranges(ry, ny)
+    loz, hiz = axis_ranges(rz, nz)
+    mx = np.stack([density[:, :, l: h + 1].min(axis=2)
+                   for l, h in zip(lox, hix)], axis=-1)
+    mxy = np.stack([mx[:, l: h + 1, :].min(axis=1)
+                    for l, h in zip(loy, hiy)], axis=1)
+    return np.stack([mxy[l: h + 1].min(axis=0)
+                     for l, h in zip(loz, hiz)], axis=0)
+
+
 def build_majorant_grid_jax(density, res=(16, 16, 16)):
     """JIT-compatible majorant build for the differentiable path (re-run when
     the optimized density changes).  Same index-range semantics, expressed as

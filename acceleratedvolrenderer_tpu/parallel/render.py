@@ -238,7 +238,8 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
                         event_groups: int = 1,
                         unroll: int = 0,
                         work_stride=1,
-                        record_alive: bool = False):
+                        record_alive: bool = False,
+                        count_events: bool = False):
     """Path-regeneration renderer: ONE fused kernel renders the whole
     frame x spp workload at ~full SIMD occupancy.
 
@@ -328,7 +329,8 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
             event_groups=event_groups,
             prims=tuple(scene.primitives), regen=regen,
             light_strategy=getattr(scene, "light_sampler", "uniform"),
-            record_alive=record_alive, external_loop=external_loop)
+            record_alive=record_alive, count_events=count_events,
+            external_loop=external_loop)
 
     if unroll > 0 and not record_alive:
         # ---- host-driven unrolled chunks.  MEASURED DEAD END for perf
@@ -376,6 +378,8 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
         res = _li(density, majorant, film_rgb, False)
         if record_alive:
             return res.film_rgb, res.alive_hist
+        if count_events:
+            return res.film_rgb, res.ev_counts
         return res.film_rgb
 
     return run, density_const, majorant_const
