@@ -134,6 +134,12 @@ class MediumArrays(NamedTuple):
     # estimator for spectrum-coefficient derivatives)
     sigma_a_s: object = None
     sigma_s_s: object = None
+    # optional (rz, ry, rx) per-cell MIN density (ops.grid.
+    # build_minorant_grid) — the control grid of residual ratio tracking:
+    # shadow segments sample collisions against (majorant - minorant) and
+    # carry the control term exp(-sigma_t * minorant * dl) in closed form
+    # (volpath_fused residual_shadow=True)
+    minorant: object = None
 
 
 def world_to_medium(w2m, p):

@@ -102,18 +102,20 @@ def _gather_rows_mxu(table_ref, flat, n_rows):
     return jnp.concatenate(outs, axis=0)
 
 
-def _march_kernel(maj_ref,
+def _march_kernel(maj_ref, ctrl_ref,
                   vx_ref, vy_ref, vz_ref,
                   ntx_ref, nty_ref, ntz_ref,
                   dtx_ref, dty_ref, dtz_ref,
                   sx_ref, sy_ref, sz_ref,
                   texit_ref, tcur_ref, dlt_ref, dls_ref,
-                  maxd_ref, hunt_ref,
+                  maxd_ref, hunt_ref, resid_ref, ctrld_ref, csince_ref,
                   # outputs
                   ovx_ref, ovy_ref, ovz_ref,
                   ontx_ref, onty_ref, ontz_ref,
                   otcur_ref, odlt_ref, odls_ref, omaxd_ref, oflags_ref,
-                  *, K: int, n_rows: int, rx: int, ry: int, rz: int):
+                  octrld_ref, ocsince_ref,
+                  *, K: int, n_rows: int, rx: int, ry: int, rz: int,
+                  use_ctrl: bool):
     vx, vy, vz = vx_ref[:], vy_ref[:], vz_ref[:]
     ntx, nty, ntz = ntx_ref[:], nty_ref[:], ntz_ref[:]
     dtx, dty, dtz = dtx_ref[:], dty_ref[:], dtz_ref[:]
@@ -134,6 +136,16 @@ def _march_kernel(maj_ref,
     svx, svy, svz = vx, vy, vz
     sntx, snty, sntz = ntx, nty, ntz
     live_final = live
+    if use_ctrl:
+        # residual ratio tracking (shadow lanes, resid != 0): collisions
+        # hunt against rate (majorant - minorant) and the CONTROL optical
+        # depth integral(minorant * dl) accumulates in closed form — the
+        # event block applies exp(-sigma_t * ctrl) deterministically.
+        resid_f = (resid_ref[:] != 0).astype(jnp.float32)
+        cumc = zf
+        ctrl_snap = zf
+        ctrl_last = zf
+        c_land = zf
 
     for _ in range(K):
         end_raw = jnp.minimum(jnp.minimum(ntx, nty), ntz)
@@ -149,17 +161,33 @@ def _march_kernel(maj_ref,
             maj_k = _gather_rows(maj_ref, flat, n_rows)
         else:
             maj_k = _gather_rows_mxu(maj_ref, flat, n_rows)
+        if use_ctrl:
+            if n_rows <= _ROW_SELECT_MAX:
+                ctrl_k = _gather_rows(ctrl_ref, flat, n_rows)
+            else:
+                ctrl_k = _gather_rows_mxu(ctrl_ref, flat, n_rows)
+            ctrl_k = ctrl_k * resid_f      # 0 on main-path lanes
+            rate_k = jnp.maximum(maj_k - ctrl_k, 0.0)
+        else:
+            rate_k = maj_k
 
-        dl_k = jnp.where(live_final & (maj_k > 0),
-                         maj_k * jnp.minimum(len_k, _F_INF), 0.0)
+        len_c = jnp.minimum(len_k, _F_INF)
+        dl_k = jnp.where(live_final & (rate_k > 0), rate_k * len_c, 0.0)
         prev_cum = cum
         cum = cum + dl_k
         ok = live_final & (dl_k > 0) & (cum >= dl_target)
         new_land = ok & ~landed
         t_col = jnp.where(new_land,
                           s_k + (dl_target - prev_cum)
-                          / jnp.maximum(maj_k, 1e-30), t_col)
+                          / jnp.maximum(rate_k, 1e-30), t_col)
         maj_snap = jnp.where(new_land, maj_k, maj_snap)
+        if use_ctrl:
+            dc_k = jnp.where(live_final, ctrl_k * len_c, 0.0)
+            c_land = jnp.where(
+                new_land, cumc + ctrl_k * (t_col - s_k), c_land)
+            cumc = cumc + dc_k
+            ctrl_snap = jnp.where(new_land, ctrl_k, ctrl_snap)
+            ctrl_last = jnp.where(live_final, ctrl_k, ctrl_last)
         svx = jnp.where(new_land, vx, svx)
         svy = jnp.where(new_land, vy, svy)
         svz = jnp.where(new_land, vz, svz)
@@ -205,14 +233,23 @@ def _march_kernel(maj_ref,
                              jnp.where(adv, maxd_last, maxd_ref[:]))
     oflags_ref[:] = (jnp.where(sel, 1, 0)
                      + jnp.where(escaped, 2, 0)).astype(jnp.int32)
+    if use_ctrl:
+        octrld_ref[:] = jnp.where(sel, ctrl_snap,
+                                  jnp.where(adv, ctrl_last, ctrld_ref[:]))
+        ocsince_ref[:] = csince_ref[:] + jnp.where(
+            sel, c_land, jnp.where(adv, jnp.where(hunting, cumc, 0.0), 0.0))
+    else:
+        octrld_ref[:] = ctrld_ref[:]
+        ocsince_ref[:] = csince_ref[:]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _march_call(static_cfg, n_rows, m, maj2d, planes_f, planes_i, hunt):
+def _march_call(static_cfg, n_rows, m, maj2d, ctrl2d, planes_f, planes_i,
+                hunt, resid, ctrld, csince):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    K, rx, ry, rz = static_cfg
+    K, rx, ry, rz, use_ctrl = static_cfg
     f32 = jnp.float32
     i32 = jnp.int32
     if n_rows > _ROW_SELECT_MAX:
@@ -234,7 +271,7 @@ def _march_call(static_cfg, n_rows, m, maj2d, planes_f, planes_i, hunt):
         blk = m
     outs = pl.pallas_call(
         functools.partial(_march_kernel, K=K, n_rows=n_rows,
-                          rx=rx, ry=ry, rz=rz),
+                          rx=rx, ry=ry, rz=rz, use_ctrl=use_ctrl),
         grid=grid,
         out_shape=[
             jax.ShapeDtypeStruct((m, LANES), i32),   # vx
@@ -248,11 +285,14 @@ def _march_call(static_cfg, n_rows, m, maj2d, planes_f, planes_i, hunt):
             jax.ShapeDtypeStruct((m, LANES), f32),   # dl_since
             jax.ShapeDtypeStruct((m, LANES), f32),   # maxd
             jax.ShapeDtypeStruct((m, LANES), i32),   # flags
+            jax.ShapeDtypeStruct((m, LANES), f32),   # ctrld
+            jax.ShapeDtypeStruct((m, LANES), f32),   # ctrl_since
         ],
-        in_specs=[tab_spec] + [lane_spec] * 18,
-        out_specs=[lane_spec] * 11,
-    )(maj2d, *planes_i[:3], *planes_f[:3], *planes_f[3:6],
-      *planes_i[3:6], *planes_f[6:10], planes_f[10], hunt)
+        in_specs=[tab_spec, tab_spec] + [lane_spec] * 21,
+        out_specs=[lane_spec] * 13,
+    )(maj2d, ctrl2d, *planes_i[:3], *planes_f[:3], *planes_f[3:6],
+      *planes_i[3:6], *planes_f[6:10], planes_f[10], hunt, resid,
+      ctrld, csince)
     return outs
 
 
@@ -279,11 +319,28 @@ def _bf16_roundup(x):
     return jnp.where(lo, up, b).astype(jnp.float32)
 
 
+def _bf16_rounddown(x):
+    """Round positive floats DOWN to bf16-representable so the bf16 MXU
+    gather returns the minorant exactly and it stays a LOWER bound."""
+    b = x.astype(jnp.bfloat16)
+    hi = b.astype(jnp.float32) > x
+    bits = jax.lax.bitcast_convert_type(b, jnp.uint16)
+    down = jax.lax.bitcast_convert_type(
+        bits - jnp.uint16(1), jnp.bfloat16)
+    return jnp.maximum(jnp.where(hi, down, b).astype(jnp.float32), 0.0)
+
+
 def march_block(majorant, voxel, next_t, dt, step, t_exit, t_cur,
-                dl_target, dl_since, maxd_in, hunting, K, maj_res):
+                dl_target, dl_since, maxd_in, hunting, K, maj_res,
+                control=None, resid=None, ctrld_in=None, csince_in=None):
     """Fused march: see _march_kernel.  All per-lane args are (N,) / (N, 3)
     jnp arrays; returns dict with updated voxel/next_t/t_cur/dl_target/
-    dl_since/maxd plus landed/escaped masks."""
+    dl_since/maxd plus landed/escaped masks.
+
+    control (the minorant table) + resid/ctrld_in/csince_in enable
+    residual ratio tracking: `resid` lanes hunt against (majorant -
+    control) and `ctrl_since` accumulates the closed-form control depth;
+    outputs gain ctrld (control at the event cell) and ctrl_since."""
     rx, ry, rz = maj_res
     n = t_cur.shape[0]
     m = n // LANES
@@ -296,17 +353,34 @@ def march_block(majorant, voxel, next_t, dt, step, t_exit, t_cur,
     planes_i = [pi(voxel[:, 0]), pi(voxel[:, 1]), pi(voxel[:, 2]),
                 pi(step[:, 0]), pi(step[:, 1]), pi(step[:, 2])]
     maj2d = majorant.reshape(-1, LANES)
+    use_ctrl = control is not None
     if maj2d.shape[0] > _ROW_SELECT_MAX:
         maj2d = _bf16_roundup(maj2d)
-    outs = _march_call((int(K), int(rx), int(ry), int(rz)),
-                       maj2d.shape[0], m, maj2d, planes_f, planes_i,
-                       pi(hunting))
+    if use_ctrl:
+        ctrl2d = control.reshape(-1, LANES)
+        if ctrl2d.shape[0] > _ROW_SELECT_MAX:
+            ctrl2d = _bf16_rounddown(ctrl2d)
+        resid_p = pi(resid)
+        ctrld_p = p(ctrld_in)
+        csince_p = p(csince_in)
+    else:
+        ctrl2d = jnp.zeros_like(maj2d)
+        resid_p = jnp.zeros((m, LANES), jnp.int32)
+        ctrld_p = jnp.zeros((m, LANES), jnp.float32)
+        csince_p = jnp.zeros((m, LANES), jnp.float32)
+    outs = _march_call((int(K), int(rx), int(ry), int(rz), use_ctrl),
+                       maj2d.shape[0], m, maj2d, ctrl2d, planes_f,
+                       planes_i, pi(hunting), resid_p, ctrld_p, csince_p)
     u = lambda a: a.reshape(n)
     flags = u(outs[10])
-    return dict(
+    out = dict(
         voxel=jnp.stack([u(outs[0]), u(outs[1]), u(outs[2])], -1),
         next_t=jnp.stack([u(outs[3]), u(outs[4]), u(outs[5])], -1),
         t_cur=u(outs[6]), dl_target=u(outs[7]), dl_since=u(outs[8]),
         maxd=u(outs[9]),
         landed=(flags & 1) != 0, escaped=(flags & 2) != 0,
     )
+    if use_ctrl:
+        out["ctrld"] = u(outs[11])
+        out["ctrl_since"] = u(outs[12])
+    return out

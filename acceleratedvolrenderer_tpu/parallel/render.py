@@ -239,7 +239,8 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
                         unroll: int = 0,
                         work_stride=1,
                         record_alive: bool = False,
-                        count_events: bool = False):
+                        count_events: bool = False,
+                        residual_shadow: bool = False):
     """Path-regeneration renderer: ONE fused kernel renders the whole
     frame x spp workload at ~full SIMD occupancy.
 
@@ -271,6 +272,13 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
     else:
         density_const = jnp.ones((1, 1, 1), jnp.float32)
         majorant_const = jnp.ones((1, 1, 1), jnp.float32)
+    minorant_const = None
+    if residual_shadow and not homogeneous and med_spec.density is not None \
+            and not med_spec.rgb:
+        from ..ops import grid as gridops
+
+        minorant_const = jnp.asarray(gridops.build_minorant_grid(
+            np.asarray(med_spec.density), med_spec.maj_res()))
 
     total_work = H * W * spp
     N = int(min(n_lanes, total_work))
@@ -304,7 +312,7 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
             w2m=jnp.asarray(med_spec.world_to_unit(), jnp.float32),
             g=jnp.float32(med_spec.g),
             sigma_a=jnp.zeros((LANES,)), sigma_s=jnp.zeros((LANES,)),
-            Le=jnp.zeros((LANES,)), **rgb_kw)
+            Le=jnp.zeros((LANES,)), minorant=minorant_const, **rgb_kw)
         regen = dict(
             camera=cam, filter=scene.filter, sampler=scene.sampler,
             spp=spp, H=H, W=W, total_work=total_work, seed=scene.seed,
@@ -330,6 +338,7 @@ def make_regen_renderer(scene, *, n_lanes: int = 4096,
             prims=tuple(scene.primitives), regen=regen,
             light_strategy=getattr(scene, "light_sampler", "uniform"),
             record_alive=record_alive, count_events=count_events,
+            residual_shadow=residual_shadow,
             external_loop=external_loop)
 
     if unroll > 0 and not record_alive:
