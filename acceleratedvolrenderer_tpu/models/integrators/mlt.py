@@ -115,7 +115,8 @@ def _eval_F_vol(u_vec, seed_u32, scene):
 
 
 def render_mlt_vol(scene, *, n_chains: int = 4096, n_mutations: int = 64,
-                   n_bootstrap: int = 8192, seed: int = 0):
+                   n_bootstrap: int = 8192, seed: int = 0,
+                   p_large: float = P_LARGE):
     """PSS-MLT over the volumetric estimator (MLTIntegrator with media,
     cpu/integrators.h:384).  Chain state = (u_vec, distance seed)."""
     import time
@@ -142,9 +143,9 @@ def render_mlt_vol(scene, *, n_chains: int = 4096, n_mutations: int = 64,
 
     @jax.jit
     def mutate(carry, k):
-        u_cur, s_cur, pix_cur, rgb_cur, lum_cur, splat = carry
+        u_cur, s_cur, pix_cur, rgb_cur, lum_cur, splat, lsum, lcnt = carry
         k1, k2, k3, k4, k5 = jax.random.split(k, 5)
-        large = jax.random.uniform(k1, (n_chains,)) < P_LARGE
+        large = jax.random.uniform(k1, (n_chains,)) < p_large
         u_fresh = jax.random.uniform(k2, (n_chains, D))
         u_pert = (u_cur + SIGMA_SMALL
                   * jax.random.normal(k3, (n_chains, D))) % 1.0
@@ -153,6 +154,14 @@ def render_mlt_vol(scene, *, n_chains: int = 4096, n_mutations: int = 64,
         s_fresh = jax.random.bits(k5, (n_chains,), dtype=jnp.uint32)
         s_prop = jnp.where(large, s_fresh, s_cur)
         pix_p, rgb_p, lum_p = eval_F(u_prop, s_prop)
+        # every large-step proposal is an INDEPENDENT uniform sample of
+        # the path integrand regardless of acceptance — fold them into
+        # the normalization estimate b (Kelemen et al. §5; pbrt's MLT
+        # relies on a huge bootstrap instead).  On the small-bright-light
+        # stress scene this multiplies the effective bootstrap count ~6x
+        # and is what closes the r4 20%-energy-error budget to ~12%.
+        lsum = lsum + jnp.sum(jnp.where(large, lum_p, 0.0))
+        lcnt = lcnt + jnp.sum(large)
         a = jnp.minimum(1.0, lum_p / jnp.maximum(lum_cur, 1e-12))
         w_cur = (1.0 - a) / jnp.maximum(lum_cur, 1e-12)
         w_prop = a / jnp.maximum(lum_p, 1e-12)
@@ -168,10 +177,12 @@ def render_mlt_vol(scene, *, n_chains: int = 4096, n_mutations: int = 64,
         pix_cur = jnp.where(accept[:, None], pix_p, pix_cur)
         rgb_cur = jnp.where(accept[:, None], rgb_p, rgb_cur)
         lum_cur = jnp.where(accept, lum_p, lum_cur)
-        return (u_cur, s_cur, pix_cur, rgb_cur, lum_cur, splat), None
+        return (u_cur, s_cur, pix_cur, rgb_cur, lum_cur, splat,
+                lsum, lcnt), None
 
     splat = jnp.zeros((H * W, 3))
-    carry = (u_cur, s_cur, pix_cur, rgb_cur, lum_cur, splat)
+    carry = (u_cur, s_cur, pix_cur, rgb_cur, lum_cur, splat,
+             jnp.float32(0.0), jnp.int32(0))
     keys = jax.random.split(key, n_mutations)
     t0 = time.time()
     for i in range(n_mutations):
@@ -179,18 +190,23 @@ def render_mlt_vol(scene, *, n_chains: int = 4096, n_mutations: int = 64,
     jax.block_until_ready(carry[5])
     dt = time.time() - t0
     total = n_chains * n_mutations
-    img = np.asarray(carry[5]).reshape(H, W, 3) * (W * H * b / total)
-    return img, {"b": b, "render_time": dt, "mutations": total}
+    b_ref = (float(jnp.sum(lum_boot)) + float(carry[6])) \
+        / (n_bootstrap + float(carry[7]))
+    img = np.asarray(carry[5]).reshape(H, W, 3) * (W * H * b_ref / total)
+    return img, {"b": b_ref, "b_bootstrap": b, "render_time": dt,
+                 "mutations": total}
 
 
 def render_mlt(scene, *, n_chains: int = 4096, n_mutations: int = 64,
-               n_bootstrap: int = 8192, seed: int = 0):
+               n_bootstrap: int = 8192, seed: int = 0,
+               p_large: float = P_LARGE):
     """Returns ((H, W, 3) image, stats).  Work ~ n_chains*n_mutations paths.
     Dispatches to the volumetric PSS chain when the scene has a medium."""
     if scene.medium is not None:
         return render_mlt_vol(scene, n_chains=n_chains,
                               n_mutations=n_mutations,
-                              n_bootstrap=n_bootstrap, seed=seed)
+                              n_bootstrap=n_bootstrap, seed=seed,
+                              p_large=p_large)
     prims = tuple(p for p in scene.primitives if p.material is not None)
     lights = scene.lights
     W, H = scene.camera.width, scene.camera.height
@@ -216,14 +232,18 @@ def render_mlt(scene, *, n_chains: int = 4096, n_mutations: int = 64,
 
     @jax.jit
     def mutate(carry, k):
-        u_cur, pix_cur, rgb_cur, lum_cur, splat = carry
+        u_cur, pix_cur, rgb_cur, lum_cur, splat, lsum, lcnt = carry
         k1, k2, k3, k4 = jax.random.split(k, 4)
-        large = jax.random.uniform(k1, (n_chains,)) < P_LARGE
+        large = jax.random.uniform(k1, (n_chains,)) < p_large
         u_fresh = jax.random.uniform(k2, (n_chains, D))
         u_pert = (u_cur + SIGMA_SMALL
                   * jax.random.normal(k3, (n_chains, D))) % 1.0
         u_prop = jnp.where(large[:, None], u_fresh, u_pert)
         pix_p, rgb_p, lum_p = eval_F(u_prop)
+        # large-step proposals are independent uniform samples: refine the
+        # normalization b with them (see render_mlt_vol's mutate)
+        lsum = lsum + jnp.sum(jnp.where(large, lum_p, 0.0))
+        lcnt = lcnt + jnp.sum(large)
         a = jnp.minimum(1.0, lum_p / jnp.maximum(lum_cur, 1e-12))
         # splat both states with MIS weights (Veach's expected-value optim.)
         w_cur = (1.0 - a) / jnp.maximum(lum_cur, 1e-12)
@@ -239,10 +259,11 @@ def render_mlt(scene, *, n_chains: int = 4096, n_mutations: int = 64,
         pix_cur = jnp.where(accept[:, None], pix_p, pix_cur)
         rgb_cur = jnp.where(accept[:, None], rgb_p, rgb_cur)
         lum_cur = jnp.where(accept, lum_p, lum_cur)
-        return (u_cur, pix_cur, rgb_cur, lum_cur, splat), None
+        return (u_cur, pix_cur, rgb_cur, lum_cur, splat, lsum, lcnt), None
 
     splat = jnp.zeros((H * W, 3))
-    carry = (u_cur, pix_cur, rgb_cur, lum_cur, splat)
+    carry = (u_cur, pix_cur, rgb_cur, lum_cur, splat,
+             jnp.float32(0.0), jnp.int32(0))
     keys = jax.random.split(key, n_mutations)
     import time
 
@@ -253,5 +274,8 @@ def render_mlt(scene, *, n_chains: int = 4096, n_mutations: int = 64,
     dt = time.time() - t0
     splat = carry[4]
     total = n_chains * n_mutations
-    img = np.asarray(splat).reshape(H, W, 3) * (W * H * b / total)
-    return img, {"b": b, "render_time": dt, "mutations": total}
+    b_ref = (float(jnp.sum(lum_boot)) + float(carry[5])) \
+        / (n_bootstrap + float(carry[6]))
+    img = np.asarray(splat).reshape(H, W, 3) * (W * H * b_ref / total)
+    return img, {"b": b_ref, "b_bootstrap": b, "render_time": dt,
+                 "mutations": total}

@@ -293,8 +293,15 @@ def _cloud_leg(report, gate, lum, rel_mse):
                  "mean_lum": float(L_our.mean()), "percentiles": our_p,
                  "render_time": info.get("render_time")}}
 
-    gate("cloud_sil_coverage_dev", abs(our_cov - ref_cov), 0.05)
-    gate("cloud_sil_centroid_dev",
+    # MASK-PIPELINE GUARDS, not independent scene reconstruction (VERDICT
+    # r4 weak #3): the analog's density is carved with the artifact's own
+    # silhouette projected through the EXR-header camera (ref_mask=True),
+    # so these two gates verify the carve/projection/camera pipeline plus
+    # out-of-mask light leakage — the photometric log2dev gates below are
+    # the transport comparison, and tests/test_cloud_analog.py unit-tests
+    # the mask machinery itself
+    gate("cloud_maskpipe_coverage_dev", abs(our_cov - ref_cov), 0.05)
+    gate("cloud_maskpipe_centroid_dev",
          max(abs(our_cx - ref_cx), abs(our_cy - ref_cy)), 0.05)
     # r4 bounds (VERDICT r3 #2): calibrated values + MC/analog margin.
     # The 0.5-bound mean is the ROBUST bulk-energy statistic: both
@@ -520,13 +527,12 @@ def main(argv=None):
         gate("depth_ratio_monotone_decay",
              ours[8]["ratio"] - ours[1]["ratio"], 0.0)
         # (c) error magnitude vs the reference's own graph error at
-        # depth 8.  r4 (VERDICT r3 weak #4): bound set from the measured
-        # r3 value 0.058 + MC/margin headroom, replacing the
-        # 4x-reference+0.03 = 0.242 bound that could not catch a
-        # regression
+        # depth 8.  r5 (VERDICT r4 weak #5): measured 0.058 across r3/r4
+        # + ~0.02 MC margin -> bound ~= 0.08 (was 1.5x+0.03 = 0.109 with
+        # 1.9x headroom)
         gate("depth8_rel_mse_vs_reference",
              ours[8]["rel_mse"],
-             1.5 * ref_stats[8]["rel_mse"] + 0.03)
+             ref_stats[8]["rel_mse"] + 0.027)
 
     # ---- 7. reference-artifact gate: disney-cloud-720p.exr statistics
     # under the EXR-extracted camera (worldToCamera/worldToNDC headers) ----
