@@ -1,6 +1,6 @@
 """Quantitative render-parity harness.
 
-Emits PARITY_r04.json with per-scene MSE / FLIP / scene-average numbers
+Emits PARITY_r05.json with per-scene MSE / FLIP / scene-average numbers
 for every cross-integrator agreement the framework claims, following the
 reference's two validation patterns:
   * analytic furnace scenes with CheckSceneAverage +-0.025
@@ -26,7 +26,7 @@ Gates (all re-runnable by the driver; the exit code enforces them):
      position (648.06, -82.47, -63.86), fov 31.07 deg) vs our procedural
      cloud analog: silhouette coverage/centroid + luminance statistics
 
-Usage: python scripts/parity.py [--out PARITY_r04.json] [--only N,...]
+Usage: python scripts/parity.py [--out PARITY_r05.json] [--only N,...]
 """
 import argparse
 import json
@@ -331,7 +331,7 @@ def _cloud_leg(report, gate, lum, rel_mse):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="PARITY_r04.json")
+    ap.add_argument("--out", default="PARITY_r05.json")
     ap.add_argument("--only", default=None,
                     help="comma-separated section numbers to run (1-7)")
     args = ap.parse_args(argv)
