@@ -85,6 +85,26 @@ def main():
         "total_s": round(t_build + t_light, 2),
         "target_met": bool(n_v >= args.target),
     }
+
+    # second leg: a reference-typical merge radius (graph_maker configs
+    # land in the 10^4-10^5 vertex range) for a rate at that scale
+    cfg2 = GraphConfig()
+    cfg2.builder.dimension_steps = 64
+    cfg2.builder.iterations_per_step = 2
+    cfg2.builder.radius_modifier = 4.0
+    cfg2.builder.max_depth = 16
+    t0 = time.time()
+    g2 = FreeGraphBuilder(scene.medium, light_dir, cfg2.builder,
+                          seed=7).build()
+    t2 = time.time() - t0
+    out["reference_scale"] = {
+        "config": {"dimension_steps": 64, "iterations_per_step": 2,
+                   "radius_modifier": 4.0, "max_depth": 16},
+        "vertices": int(g2.positions.shape[0]),
+        "edges": int(g2.edges.shape[0]) if g2.edges is not None else 0,
+        "build_s": round(t2, 2),
+        "vertices_per_s": round(g2.positions.shape[0] / t2, 1),
+    }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
