@@ -384,9 +384,10 @@ def li(
             reached=jnp.where(sel, False, old.reached),
             # a segment that misses the medium is immediately "escaped"
             seg_escaped=jnp.where(sel, ~dda.in_medium, old.seg_escaped),
-            ctrld=jnp.where(sel, 0.0, old.ctrld),
-            ctrl_since=jnp.where(sel, 0.0, old.ctrl_since),
             rng=rng,
+            **(dict(ctrld=jnp.where(sel, 0.0, old.ctrld),
+                    ctrl_since=jnp.where(sel, 0.0, old.ctrl_since))
+               if residual_on else {}),
         ), dda.in_medium
 
     # ---- regeneration: work-item spawning (wavefront path regeneration —
@@ -521,8 +522,10 @@ def li(
         reached=jnp.zeros((N,), bool),
         seg_escaped=jnp.zeros((N,), bool),
         maxd=jnp.zeros((N,), f32),
-        ctrld=jnp.zeros((N,), f32),
-        ctrl_since=jnp.zeros((N,), f32),
+        # (1,) dummies when residual tracking is off: no dead registers
+        # in the production while_loop carry
+        ctrld=jnp.zeros((N if residual_on else 1,), f32),
+        ctrl_since=jnp.zeros((N if residual_on else 1,), f32),
         L=zero_s,
         beta=jnp.ones((N, LANES), f32),
         r_u=jnp.ones((N, LANES), f32),
@@ -1277,8 +1280,9 @@ def li(
             spdf_d=jnp.where(nee_valid, spdf_d, c.spdf_d),
             is_delta=jnp.where(nee_valid, is_delta, c.is_delta),
             dl_target=dl_target, dl_since=dl_since,
-            ctrl_since=jnp.where(col_any, 0.0, c.ctrl_since),
             reached=c.reached & ~col_any,
+            **(dict(ctrl_since=jnp.where(col_any, 0.0, c.ctrl_since))
+               if residual_on else {}),
         )
 
         # =========== segment (re)initialization ===========
@@ -1493,8 +1497,10 @@ def li(
     # retire still run full-width — spp16/g16: 15.6 -> 10.3 (E=2) -> 6.4
     # (E=4) Mrays/s.  Kept as an opt-in for long-mean-free-path scenes
     # where marches per event >> 1.
-    _EVENT_SLICED = ("n_steps", "cursor", "film_rgb", "ev_counts")
-    # pass-through (scalars/global state the lane-slice must not cut)
+    # pass-through (scalars/global state the lane-slice must not cut;
+    # the (1,)-dummy ctrl registers join it when residual tracking is off)
+    _EVENT_SLICED = ("n_steps", "cursor", "film_rgb", "ev_counts") + (
+        () if residual_on else ("ctrld", "ctrl_since"))
 
     def sliced_events(c: _Regs) -> _Regs:
         assert N % event_groups == 0
@@ -1511,8 +1517,7 @@ def li(
             f: jax.lax.dynamic_update_slice_in_dim(
                 getattr(c, f), getattr(sub, f), start, 0)
             for f in c._fields if f not in _EVENT_SLICED},
-            n_steps=sub.n_steps, cursor=sub.cursor, film_rgb=sub.film_rgb,
-            ev_counts=sub.ev_counts)
+            **{f: getattr(sub, f) for f in _EVENT_SLICED})
 
     def cond(c: _Regs):
         busy = jnp.any(c.pc != PC_DONE)
