@@ -95,7 +95,7 @@ def main(argv=None):
                          "(256^3 BLOSC .nvdb through the full pipeline)")
     ap.add_argument("--no-backward", action="store_true",
                     help="skip the production-scale gradient leg")
-    ap.add_argument("--bw-spp", type=int, default=4)
+    ap.add_argument("--bw-spp", type=int, default=16)
     ap.add_argument("--bw-scale", type=int, default=2,
                     help="resolution divisor for the backward leg "
                          "(2 = 640x360 quarter-res)")
@@ -230,7 +230,11 @@ def main(argv=None):
         bw_scene = presets.cloud(width=bw_w, height=bw_h, spp=bw_spp,
                                  max_depth=16)
         bw_scene.max_march_steps = 4096
-        bw_lanes, bw_groups = 8192, 8
+        # in-lane spp accumulation amortizes the backward pass exactly
+        # like the forward (retirement ∝ 1/spp): measured 0.71 Mrays/s-bwd
+        # at spp4/8k-lanes → 1.06 at spp16/16k/g32 (probe_backward.py)
+        bw_lanes = 16384 if bw_spp >= 8 else 8192
+        bw_groups = min(32, 2 * bw_spp)
         bw_knobs = dict(k_substeps=8, stochastic_filter=True,
                         accum_spp=True, retire_groups=bw_groups,
                         n_lanes=bw_lanes)
