@@ -96,9 +96,9 @@ def main(argv=None):
     ap.add_argument("--no-backward", action="store_true",
                     help="skip the production-scale gradient leg")
     ap.add_argument("--bw-spp", type=int, default=16)
-    ap.add_argument("--bw-scale", type=int, default=2,
+    ap.add_argument("--bw-scale", type=int, default=1,
                     help="resolution divisor for the backward leg "
-                         "(2 = 640x360 quarter-res)")
+                         "(1 = full 720p; 2 = 640x360 quarter-res)")
     args = ap.parse_args(argv)
 
     import jax
@@ -231,8 +231,10 @@ def main(argv=None):
                                  max_depth=16)
         bw_scene.max_march_steps = 4096
         # in-lane spp accumulation amortizes the backward pass exactly
-        # like the forward (retirement ∝ 1/spp): measured 0.71 Mrays/s-bwd
-        # at spp4/8k-lanes → 1.06 at spp16/16k/g32 (probe_backward.py)
+        # like the forward (retirement ∝ 1/spp), and lane amortization
+        # keeps improving with the workload: measured 0.71 Mrays/s-bwd at
+        # 360p/spp4/8k-lanes → 1.10 at 360p/spp16 → 1.55 at FULL
+        # 720p/spp16/16k/g32 (probe_backward.py sweeps)
         bw_lanes = 16384 if bw_spp >= 8 else 8192
         bw_groups = min(32, 2 * bw_spp)
         bw_knobs = dict(k_substeps=8, stochastic_filter=True,
