@@ -294,9 +294,34 @@ def li(
 
             if regen is None:
                 _cond_const = cond_spectra(lam)
+
+        # ---- diffuse-transmission surfaces (DiffuseTransmissionBxDF,
+        # bxdfs.h hemisphere-flipped Lambert pair): two-sided cosine
+        # lobes so a light BEHIND the surface contributes through the
+        # transmitted NEE lane and the bounce can cross to the far side.
+        # Gated on the scene actually containing one so the production
+        # cloud configs compile the identical program.
+        dt_list = [p.material.kind
+                   == materials_mod.KIND_DIFFUSE_TRANSMISSION
+                   for p in opaque]
+        has_dt = any(dt_list)
+        if has_dt:
+            dt_mask_arr = jnp.asarray(dt_list)
+
+            def dt_spectra(lam_cur):
+                nw = lam_cur.shape[0]
+                return jnp.stack(
+                    [materials_mod._eval_spectral(
+                        getattr(p.material, "transmittance", None), lam_cur)
+                     * jnp.ones((nw, LANES)) if d else jnp.zeros((nw, LANES))
+                     for d, p in zip(dt_list, opaque)])
+
+            if regen is None:
+                _dt_const = dt_spectra(lam)
     else:
         has_spec = False
         has_rough = False
+        has_dt = False
 
     def spectra_for(lam_cur):
         """Per-lane medium spectra — evaluated at spawn time."""
@@ -673,8 +698,12 @@ def li(
                  / jnp.maximum(rate_star, 1e-30))
         if residual_on:
             # control-depth accumulation (closed form): full segments up
-            # to the collision + the partial landing segment
-            dc = jnp.where(live_stack, ctrl * len_stack, 0.0)
+            # to the collision + the partial landing segment.  len clamp
+            # mirrors the Pallas kernel's len_c: unbounded final segments
+            # have len = inf and ctrl may be 0 there (0*inf = NaN, and
+            # where() would still store the NaN into live carry state)
+            dc = jnp.where(live_stack,
+                           ctrl * jnp.minimum(len_stack, 3.0e38), 0.0)
             cumc = jnp.cumsum(dc, axis=1)
             prev_cumc = jnp.concatenate(
                 [jnp.zeros((N, 1), f32), cumc[:, :-1]], axis=1)
@@ -914,6 +943,11 @@ def li(
                 albedos, mid[None, :, None], axis=0)[0]      # (n, L)
             Le_mat = jnp.take_along_axis(
                 emissions, mid[None, :, None], axis=0)[0]
+            if has_dt:
+                _dt_tr = (_dt_const if regen is None else dt_spectra(c.lam))
+                trans_hit = jnp.take_along_axis(
+                    _dt_tr, mid[None, :, None], axis=0)[0]   # (n, L)
+                dt_l = dt_mask_arr[mid]
             is_emissive = emissive_mask[mid]
             n_f = vmu.face_forward(c.n_surf, wo_s)
             front = vmu.dot(c.n_surf, wo_s) > 0
@@ -997,6 +1031,24 @@ def li(
             spdf_surf = sg(jnp.maximum(cos_l, 0.0) / jnp.pi)
             f_spec = jnp.where(do_surf[:, None], f_surf, f_hat[:, None])
             spdf_d = jnp.where(do_surf, spdf_surf, f_hat_d)
+            diff_nee_ok = cos_l > 0
+            if has_dt:
+                # DT lanes are two-sided: same hemisphere as wo keeps the
+                # reflectance lobe, the far hemisphere (light behind the
+                # surface) evaluates the transmittance lobe; the MIS pdf
+                # mirrors diffuse_transmission_pdf's side-pick probability
+                f_dt = (jnp.where(cos_l[:, None] > 0, albedo, trans_hit)
+                        / jnp.pi * jnp.abs(cos_l)[:, None])
+                pr_l = jnp.max(albedo, -1)
+                pt_l = jnp.max(trans_hit, -1)
+                p_side = (jnp.where(cos_l > 0, pr_l, pt_l)
+                          / jnp.maximum(pr_l + pt_l, 1e-12))
+                dt_nee = do_surf & dt_l
+                f_spec = jnp.where(dt_nee[:, None], f_dt, f_spec)
+                spdf_d = jnp.where(
+                    dt_nee, sg(jnp.abs(cos_l) / jnp.pi * p_side), spdf_d)
+                diff_nee_ok = jnp.where(dt_l, jnp.any(f_dt > 0, -1),
+                                        diff_nee_ok)
             rough_nee_ok = jnp.zeros((n,), bool)
             if has_rough:
                 # microfacet f * |cos| and pdf toward the light (MIS
@@ -1027,7 +1079,7 @@ def li(
                                p_hit + c.n_surf * side[:, None], p_vertex)
             occl = shapes_mod.occluded(opaque, p_occl, ls.wi, ls.dist)
             extra_ok = jnp.where(
-                do_surf, cos_l > 0,
+                do_surf, diff_nee_ok,
                 jnp.where(do_rough, rough_nee_ok, f_hat_d > 0)) & ~occl
         else:
             f_spec = f_hat[:, None] * jnp.ones((n, LANES))
@@ -1127,6 +1179,29 @@ def li(
             # f*cos/pdf = albedo for cosine-sampled Lambertian
             f_over = jnp.where(res_diff[:, None], alb_res,
                                p_theta[:, None] / jnp.maximum(ps_pdf, 1e-30)[:, None])
+            go_dt_t = jnp.zeros((n,), bool)
+            if has_dt:
+                # DT bounce picks the transmission lobe with prob
+                # pt/(pr+pt) (diffuse_transmission_sample) and flips the
+                # cosine sample to the far hemisphere; f*cos/pdf =
+                # lobe_albedo / p_pick, pdf carries the side-pick factor
+                # so MIS vs the NEE strategy above stays consistent
+                dt_res = res_diff & dt_mask_arr[mid]
+                pr_r = jnp.max(alb_res, -1)
+                pt_r = jnp.max(trans_hit, -1)
+                tot_r = jnp.maximum(pr_r + pt_r, 1e-12)
+                rng, u_dt = pcg_uniform_masked(rng, dt_res)
+                go_dt_t = dt_res & (u_dt >= pr_r / tot_r)
+                p_pick = jnp.maximum(
+                    jnp.where(go_dt_t, pt_r, pr_r) / tot_r, 1e-12)
+                wi_flip = (wi_surf
+                           - 2.0 * vmu.dot(wi_surf, n_rf)[:, None] * n_rf)
+                wi = jnp.where(go_dt_t[:, None], wi_flip, wi)
+                ps_pdf = jnp.where(dt_res, sg(pdf_surf * p_pick), ps_pdf)
+                f_over = jnp.where(
+                    dt_res[:, None],
+                    jnp.where(go_dt_t[:, None], trans_hit, alb_res)
+                    / p_pick[:, None], f_over)
             if has_rough:
                 # ---- rough microfacet bounce: Trowbridge-Reitz VNDF
                 # sample of the conductor/dielectric lobe (bxdfs.h
@@ -1227,6 +1302,12 @@ def li(
             # transmitted microfacet lanes: the stored/fresh vertex sits
             # _SURF_EPS on the wo side — move it to the far side
             p_resume = jnp.where(trans_rough[:, None],
+                                 p_resume - n_rf * (2.0 * _SURF_EPS),
+                                 p_resume)
+        if has_surf and has_dt:
+            # transmitted diffuse-transmission lanes continue on the far
+            # side of the surface, same shift as the rough-transmitted case
+            p_resume = jnp.where(go_dt_t[:, None],
                                  p_resume - n_rf * (2.0 * _SURF_EPS),
                                  p_resume)
         d_new = jnp.where((resume & ps_ok)[:, None], wi, c.d_main)

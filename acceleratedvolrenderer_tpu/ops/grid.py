@@ -100,38 +100,44 @@ def max_value_range(density: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> floa
     )
 
 
+def _axis_ranges(r, nn):
+    """Per-axis density-sample index range covered by each of r majorant
+    cells: cell c spans continuous [c/r, (c+1)/r], so its sample range is
+    lo = max(floor(c/r * n - .5), 0), hi = min(floor((c+1)/r*n-.5)+1, n-1)
+    — exact SampledGrid::MaxValue bounds (containers.h / media.cpp:240-246).
+    Shared by the majorant, minorant, and jit extremum builds so the
+    subtle index math lives in exactly one place."""
+    c = np.arange(r)
+    lo = np.maximum(np.floor(c / r * nn - 0.5).astype(np.int64), 0)
+    hi = np.minimum(np.floor((c + 1) / r * nn - 0.5).astype(np.int64) + 1,
+                    nn - 1)
+    return lo, hi
+
+
+def _extremum_grid(density, res, op, stack):
+    """Separable per-cell extremum (op = 'max' | 'min') over the continuous
+    cell bounds: reduce x, then y, then z — O(N) instead of O(N * cells).
+    `stack` is np.stack (host) or jnp.stack (jit)."""
+    rx, ry, rz = res
+    nz, ny, nx = density.shape
+    lox, hix = _axis_ranges(rx, nx)
+    loy, hiy = _axis_ranges(ry, ny)
+    loz, hiz = _axis_ranges(rz, nz)
+    red = lambda a, l, h, ax: getattr(a[(slice(None),) * ax
+                                        + (slice(l, h + 1),)], op)(axis=ax)
+    mx = stack([red(density, l, h, 2) for l, h in zip(lox, hix)], axis=-1)  # (nz, ny, rx)
+    mxy = stack([red(mx, l, h, 1) for l, h in zip(loy, hiy)], axis=1)       # (nz, ry, rx)
+    return stack([red(mxy, l, h, 0) for l, h in zip(loz, hiz)], axis=0)     # (rz, ry, rx)
+
+
 def build_majorant_grid(density: np.ndarray, res=(16, 16, 16)) -> np.ndarray:
     """Host-side majorant build: (rz, ry, rx) grid of per-cell max density,
     max taken over the continuous cell bounds exactly as media.cpp:240-246.
 
     Runs once at scene build; the hot path only reads it.
     """
-    density = np.asarray(density, np.float32)
-    rx, ry, rz = res
-    out = np.zeros((rz, ry, rx), np.float32)
-    nz, ny, nx = density.shape
-    n = np.array([nx, ny, nz], np.int64)
-
-    # Precompute per-axis sample index ranges for each majorant cell, then a
-    # separable running max via cumulative folding — O(N) instead of
-    # O(N * cells).
-    # Cell c covers [c/r, (c+1)/r]; sample range per axis:
-    #   lo_i = max(floor(c/r * n - .5), 0), hi_i = min(floor((c+1)/r*n-.5)+1, n-1)
-    def axis_ranges(r, nn):
-        c = np.arange(r)
-        lo = np.maximum(np.floor(c / r * nn - 0.5).astype(np.int64), 0)
-        hi = np.minimum(np.floor((c + 1) / r * nn - 0.5).astype(np.int64) + 1, nn - 1)
-        return lo, hi
-
-    lox, hix = axis_ranges(rx, nx)
-    loy, hiy = axis_ranges(ry, ny)
-    loz, hiz = axis_ranges(rz, nz)
-
-    # separable max: reduce x, then y, then z
-    mx = np.stack([density[:, :, l: h + 1].max(axis=2) for l, h in zip(lox, hix)], axis=-1)  # (nz, ny, rx)
-    mxy = np.stack([mx[:, l: h + 1, :].max(axis=1) for l, h in zip(loy, hiy)], axis=1)      # (nz, ry, rx)
-    out = np.stack([mxy[l: h + 1].max(axis=0) for l, h in zip(loz, hiz)], axis=0)           # (rz, ry, rx)
-    return out
+    return _extremum_grid(np.asarray(density, np.float32), res, "max",
+                          np.stack)
 
 
 def build_minorant_grid(density: np.ndarray, res=(16, 16, 16)) -> np.ndarray:
@@ -147,47 +153,15 @@ def build_minorant_grid(density: np.ndarray, res=(16, 16, 16)) -> np.ndarray:
     a convex combination of sample values within the cell's index range,
     so min over that range is a true lower bound.
     """
-    density = np.asarray(density, np.float32)
-    rx, ry, rz = res
-    nz, ny, nx = density.shape
-
-    def axis_ranges(r, nn):
-        c = np.arange(r)
-        lo = np.maximum(np.floor(c / r * nn - 0.5).astype(np.int64), 0)
-        hi = np.minimum(np.floor((c + 1) / r * nn - 0.5).astype(np.int64) + 1,
-                        nn - 1)
-        return lo, hi
-
-    lox, hix = axis_ranges(rx, nx)
-    loy, hiy = axis_ranges(ry, ny)
-    loz, hiz = axis_ranges(rz, nz)
-    mx = np.stack([density[:, :, l: h + 1].min(axis=2)
-                   for l, h in zip(lox, hix)], axis=-1)
-    mxy = np.stack([mx[:, l: h + 1, :].min(axis=1)
-                    for l, h in zip(loy, hiy)], axis=1)
-    return np.stack([mxy[l: h + 1].min(axis=0)
-                     for l, h in zip(loz, hiz)], axis=0)
+    return _extremum_grid(np.asarray(density, np.float32), res, "min",
+                          np.stack)
 
 
 def build_majorant_grid_jax(density, res=(16, 16, 16)):
     """JIT-compatible majorant build for the differentiable path (re-run when
     the optimized density changes).  Same index-range semantics, expressed as
     three one-axis segment maxes with static ranges."""
-    rx, ry, rz = res
-    nz, ny, nx = density.shape
-
-    def axis_ranges(r, nn):
-        c = np.arange(r)
-        lo = np.maximum(np.floor(c / r * nn - 0.5).astype(np.int64), 0)
-        hi = np.minimum(np.floor((c + 1) / r * nn - 0.5).astype(np.int64) + 1, nn - 1)
-        return lo, hi
-
-    lox, hix = axis_ranges(rx, nx)
-    loy, hiy = axis_ranges(ry, ny)
-    loz, hiz = axis_ranges(rz, nz)
-    mx = jnp.stack([density[:, :, l: h + 1].max(axis=2) for l, h in zip(lox, hix)], axis=-1)
-    mxy = jnp.stack([mx[:, l: h + 1, :].max(axis=1) for l, h in zip(loy, hiy)], axis=1)
-    return jnp.stack([mxy[l: h + 1].max(axis=0) for l, h in zip(loz, hiz)], axis=0)
+    return _extremum_grid(density, res, "max", jnp.stack)
 
 
 def stochastic_corner(dims, p_unit, u3):

@@ -32,8 +32,17 @@ try:
     jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 except Exception:
     pass
-jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=nproc, process_id=pid)
+# Environment-capability failures (no multi-process init / cross-process
+# CPU collectives in this jaxlib) print an explicit sentinel the test
+# skips on; any OTHER crash must FAIL the test (its traceback inevitably
+# contains this script's path, so the test must not pattern-match on
+# generic words like "distributed").
+try:
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=nproc, process_id=pid)
+except Exception as e:  # pragma: no cover - environment-dependent
+    print(f"ENV_SKIP_DISTRIBUTED: initialize failed: {e!r}", flush=True)
+    sys.exit(3)
 
 import numpy as np  # noqa: E402
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
@@ -54,8 +63,17 @@ def main():
     repl = NamedSharding(mesh, P())
     density = jax.device_put(np.asarray(density), repl)
     majorant = jax.device_put(np.asarray(majorant), repl)
-    film = run(density, majorant)
-    jax.block_until_ready(film)
+    try:
+        film = run(density, majorant)
+        jax.block_until_ready(film)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        msg = repr(e)
+        if any(tok in msg for tok in ("UNIMPLEMENTED", "Gloo", "gloo",
+                                      "collective")):
+            print(f"ENV_SKIP_DISTRIBUTED: collectives unavailable: "
+                  f"{msg[:500]}", flush=True)
+            sys.exit(3)
+        raise
     film_np = np.asarray(film)       # fully-replicated output
     np.save(os.path.join(outdir, f"film_{pid}.npy"), film_np)
     print("WORKER_OK", pid, float(np.abs(film_np).sum()), flush=True)

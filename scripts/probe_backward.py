@@ -35,7 +35,7 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
     import numpy as np
@@ -123,8 +123,7 @@ def main():
         lm = float(loss_fn(dens - jnp.asarray(e)))
         fd = (lp - lm) / (2 * eps)
         out["fd_check"] = {"voxel": [int(iz), int(iy), int(ix)],
-                           "fd": fd, "ad": float(gnp[fi // 1] if False
-                                                 else gnp[iz, iy, ix])}
+                           "fd": fd, "ad": float(gnp[iz, iy, ix])}
     print(json.dumps(out), flush=True)
 
 

@@ -249,3 +249,53 @@ def test_bdpt_rough_glass_slab_adjoint_vs_path():
     assert 0.75 < ratio < 1.35, (
         f"adjoint identity violated: (2,1)/(1,2) = {ratio} "
         "(~2.25 when the importance-transport etap^2 is missing)")
+
+
+def test_bdpt_diffuse_transmission_no_spurious_adjoint():
+    """The importance-transport etap^2 cancellation applies ONLY to
+    dielectric vertices: DiffuseTransmissionBxDF::f carries no
+    radiance-convention 1/etap^2 (pbrt bxdfs.h — the mode factor lives in
+    DielectricBxDF alone), so a translucent-leaf slab's light-subpath
+    connections must use f unmodified.  With the adjoint gated on the
+    generic eta_d key (always present in the param stack) instead of the
+    material kind, transmissive lanes got a spurious x2.25 and the
+    unweighted (2,1) light-tracing strategy over-weighted by the same
+    factor.  Same geometry as the rough-glass adjoint test."""
+    from acceleratedvolrenderer_tpu.models.materials import (
+        DiffuseTransmissionMaterial)
+    from acceleratedvolrenderer_tpu.models.shapes import Quad
+    from acceleratedvolrenderer_tpu.parallel import render as render_mod
+
+    slab = Quad(origin=np.array([0.0, -4.0, -4.0]),
+                e1=np.array([0.0, 8.0, 0.0]), e2=np.array([0.0, 0.0, 8.0]),
+                material=DiffuseTransmissionMaterial(
+                    reflectance=flat(0.2), transmittance=flat(0.5)))
+    med = homogeneous_box(flat(0.0), flat(0.002), lo=(-2, -2, -2),
+                          hi=(2, 2, 2))
+    cam = PerspectiveCamera(
+        c2w=vm.look_at((-1.5, 0.3, 0.0), (0.0, 0.3, 0.0), (0, 1, 0)),
+        fov_deg=40.0, width=10, height=10)
+    sun_dir = np.array([-1.0, -0.25, 0.15])
+    sun_dir /= np.linalg.norm(sun_dir)
+    scene = Scene(
+        camera=cam, medium=med,
+        lights=[lm.DistantLight(direction=sun_dir, spectrum=flat(3.0),
+                                scene_radius=20.0)],
+        primitives=[slab], max_depth=4, filter=BoxFilter(), spp=64,
+        scene_radius=20.0)
+
+    img_b, _, strat = bdpt.render_bdpt(scene, max_depth=4, spp=128,
+                                       keep_strategies=True)
+    scene.integrator = "path"
+    img_p, _ = render_mod.render(scene)
+    a, b = lum(np.asarray(img_b)), lum(np.asarray(img_p))
+    assert b.mean() > 0
+    rel = abs(a.mean() - b.mean()) / max(b.mean(), 1e-9)
+    assert rel < 0.10, (a.mean(), b.mean())
+    u12 = lum(np.asarray(strat[(1, 2)])).mean()
+    u21 = lum(np.asarray(strat[(2, 1)])).mean()
+    assert u12 > 0 and u21 > 0
+    ratio = u21 / u12
+    assert 0.7 < ratio < 1.4, (
+        f"spurious adjoint factor: (2,1)/(1,2) = {ratio} "
+        "(~2.25 if etap^2 is applied to non-dielectric transmission)")

@@ -55,9 +55,11 @@ def test_two_process_distributed_matches_single(tmp_path):
         pytest.skip("distributed workers timed out (environment-bound)")
     if any(p.returncode != 0 for p in procs):
         joined = "\n".join(outs)
-        if ("DISTRIBUTED" in joined.upper() or "collective" in joined
-                or "initialize" in joined or "Gloo" in joined
-                or "UNIMPLEMENTED" in joined):
+        # Skip ONLY on the worker's explicit capability sentinel — any
+        # crash traceback necessarily contains the worker script's path,
+        # so matching generic words ("distributed", "initialize") here
+        # would convert every real regression into a silent skip.
+        if "ENV_SKIP_DISTRIBUTED" in joined:
             pytest.skip(
                 "multi-process JAX unavailable in this environment:\n"
                 + joined[-2000:])

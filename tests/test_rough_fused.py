@@ -125,3 +125,39 @@ def test_fused_rough_vs_path_integrator():
     a, b = lum(img_f), lum(img_p)
     rel = abs(a.mean() - b.mean()) / max(b.mean(), 1e-9)
     assert rel < 0.05, (a.mean(), b.mean())
+
+
+def test_fused_diffuse_transmission_vs_path_integrator():
+    """Translucent slab (DiffuseTransmission) with the sun BEHIND it: the
+    fused integrator's two-sided DT lobes (transmitted NEE lane + far-side
+    bounce continuation) must match the staged li_path surface integrator.
+    Regression guard: the Lambert-albedo fallback rendered this scene
+    BLACK through the fused driver (any scene with a medium routes there,
+    so a translucent leaf in fog silently lost all its transmitted light).
+    Also checks the sun-in-front (reflectance-lobe) side."""
+    from acceleratedvolrenderer_tpu.models.materials import (
+        DiffuseTransmissionMaterial)
+    from acceleratedvolrenderer_tpu.models.shapes import Quad
+
+    for sunx in (-1.0, 1.0):
+        slab = Quad(origin=np.array([0.0, -4.0, -4.0]),
+                    e1=np.array([0.0, 8.0, 0.0]),
+                    e2=np.array([0.0, 0.0, 8.0]),
+                    material=DiffuseTransmissionMaterial(
+                        reflectance=flat(0.2), transmittance=flat(0.5)))
+        sun = np.array([sunx, -0.25, 0.15])
+        sun /= np.linalg.norm(sun)
+        scene = Scene(
+            camera=cam(10, eye=(-1.5, 0.3, 0.0), look=(0.0, 0.3, 0.0)),
+            medium=None,
+            lights=[lm.DistantLight(direction=sun, spectrum=flat(3.0),
+                                    scene_radius=20.0)],
+            primitives=[slab], max_depth=4, filter=BoxFilter(), spp=96,
+            scene_radius=20.0)
+        img_f, _ = render_mod.render(scene)                 # fused driver
+        scene.integrator = "path"
+        img_p, _ = render_mod.render(scene)                 # li_path
+        a, b = lum(img_f), lum(img_p)
+        assert b.mean() > 0
+        rel = abs(a.mean() - b.mean()) / max(b.mean(), 1e-9)
+        assert rel < 0.06, (sunx, a.mean(), b.mean())
