@@ -703,7 +703,8 @@ def li(
             # have len = inf and ctrl may be 0 there (0*inf = NaN, and
             # where() would still store the NaN into live carry state)
             dc = jnp.where(live_stack,
-                           ctrl * jnp.minimum(len_stack, 3.0e38), 0.0)
+                           ctrl * jnp.minimum(len_stack,
+                                              pallas_march._F_INF), 0.0)
             cumc = jnp.cumsum(dc, axis=1)
             prev_cumc = jnp.concatenate(
                 [jnp.zeros((N, 1), f32), cumc[:, :-1]], axis=1)
@@ -983,10 +984,18 @@ def li(
             do_spec = jnp.zeros((n,), bool)
             do_rough = jnp.zeros((n,), bool)
 
-        # per-hit microfacet parameters (shared by NEE and the bounce)
-        if has_spec or has_rough:
+        # local shading frame on the TRUE geometric normal (path.py's
+        # convention): the non-diffuse lobes are two-sided sign-aware,
+        # and a dielectric's eta side-assignment (etap = cos_o > 0 ?
+        # eta : 1/eta) requires the frame orientation to be a property
+        # of the SURFACE, not of which side the ray came from
+        if has_spec or has_rough or has_dt:
             from .. import bxdfs as bxdfs_mod
 
+            sbx, sby, sbz = vmu.frame_from_z(c.n_surf)
+            wo_sl = vmu.to_local(sbx, sby, sbz, wo_s)
+        # per-hit microfacet parameters (shared by NEE and the bounce)
+        if has_spec or has_rough:
             _ce, _ck = (_cond_const if regen is None
                         else cond_spectra(c.lam))
             eta_c_hit = jnp.take_along_axis(_ce, mid[None, :, None],
@@ -996,13 +1005,6 @@ def li(
             alpha_hit = alpha_arr[mid]
             eta_m = diel_eta_arr[mid]
             is_cond_l = cond_mask_arr[mid]
-            # local shading frame on the TRUE geometric normal (path.py's
-            # convention): the microfacet lobes are two-sided sign-aware,
-            # and a dielectric's eta side-assignment (etap = cos_o > 0 ?
-            # eta : 1/eta) requires the frame orientation to be a property
-            # of the SURFACE, not of which side the ray came from
-            sbx, sby, sbz = vmu.frame_from_z(c.n_surf)
-            wo_sl = vmu.to_local(sbx, sby, sbz, wo_s)
 
         # =========== NEE SETUP (volume scatter or surface bounce) ===========
         p_scat = c.so + c.t_cur[:, None] * c.sd
@@ -1035,18 +1037,19 @@ def li(
             if has_dt:
                 # DT lanes are two-sided: same hemisphere as wo keeps the
                 # reflectance lobe, the far hemisphere (light behind the
-                # surface) evaluates the transmittance lobe; the MIS pdf
-                # mirrors diffuse_transmission_pdf's side-pick probability
-                f_dt = (jnp.where(cos_l[:, None] > 0, albedo, trans_hit)
-                        / jnp.pi * jnp.abs(cos_l)[:, None])
-                pr_l = jnp.max(albedo, -1)
-                pt_l = jnp.max(trans_hit, -1)
-                p_side = (jnp.where(cos_l > 0, pr_l, pt_l)
-                          / jnp.maximum(pr_l + pt_l, 1e-12))
+                # surface) evaluates the transmittance lobe — the SHARED
+                # bxdfs helpers so the fused path, li_path and BDPT stay
+                # convention-locked (side-pick MIS pdf included)
+                wi_dl = vmu.to_local(sbx, sby, sbz, ls.wi)
+                f_dt = (bxdfs_mod.diffuse_transmission_f(
+                    wo_sl, wi_dl, albedo, trans_hit)
+                    * jnp.abs(cos_l)[:, None])
+                spdf_dt = sg(bxdfs_mod.diffuse_transmission_pdf(
+                    wo_sl, wi_dl, jnp.max(albedo, -1),
+                    jnp.max(trans_hit, -1)))
                 dt_nee = do_surf & dt_l
                 f_spec = jnp.where(dt_nee[:, None], f_dt, f_spec)
-                spdf_d = jnp.where(
-                    dt_nee, sg(jnp.abs(cos_l) / jnp.pi * p_side), spdf_d)
+                spdf_d = jnp.where(dt_nee, spdf_dt, spdf_d)
                 diff_nee_ok = jnp.where(dt_l, jnp.any(f_dt > 0, -1),
                                         diff_nee_ok)
             rough_nee_ok = jnp.zeros((n,), bool)
@@ -1181,27 +1184,26 @@ def li(
                                p_theta[:, None] / jnp.maximum(ps_pdf, 1e-30)[:, None])
             go_dt_t = jnp.zeros((n,), bool)
             if has_dt:
-                # DT bounce picks the transmission lobe with prob
-                # pt/(pr+pt) (diffuse_transmission_sample) and flips the
-                # cosine sample to the far hemisphere; f*cos/pdf =
-                # lobe_albedo / p_pick, pdf carries the side-pick factor
-                # so MIS vs the NEE strategy above stays consistent
+                # DT bounce via the SHARED diffuse_transmission_sample
+                # (transmission lobe picked with prob pt/(pr+pt), cosine
+                # sample landed in the far hemisphere; the returned pdf
+                # carries the side-pick factor so MIS vs the NEE strategy
+                # above stays consistent)
                 dt_res = res_diff & dt_mask_arr[mid]
-                pr_r = jnp.max(alb_res, -1)
-                pt_r = jnp.max(trans_hit, -1)
-                tot_r = jnp.maximum(pr_r + pt_r, 1e-12)
                 rng, u_dt = pcg_uniform_masked(rng, dt_res)
-                go_dt_t = dt_res & (u_dt >= pr_r / tot_r)
-                p_pick = jnp.maximum(
-                    jnp.where(go_dt_t, pt_r, pr_r) / tot_r, 1e-12)
-                wi_flip = (wi_surf
-                           - 2.0 * vmu.dot(wi_surf, n_rf)[:, None] * n_rf)
-                wi = jnp.where(go_dt_t[:, None], wi_flip, wi)
-                ps_pdf = jnp.where(dt_res, sg(pdf_surf * p_pick), ps_pdf)
+                bs_dt = bxdfs_mod.diffuse_transmission_sample(
+                    wo_sl, u_dt, jnp.stack([u3a, u3b], -1),
+                    alb_res, trans_hit)
+                wi_dtw = vmu.from_local(sbx, sby, sbz, bs_dt.wi)
+                cos_dt = jnp.abs(bs_dt.wi[..., 2])
+                wi = jnp.where(dt_res[:, None], wi_dtw, wi)
+                ps_pdf = jnp.where(dt_res, sg(bs_dt.pdf), ps_pdf)
                 f_over = jnp.where(
                     dt_res[:, None],
-                    jnp.where(go_dt_t[:, None], trans_hit, alb_res)
-                    / p_pick[:, None], f_over)
+                    bs_dt.f * (cos_dt
+                               / jnp.maximum(bs_dt.pdf, 1e-30))[:, None],
+                    f_over)
+                go_dt_t = dt_res & bs_dt.transmitted
             if has_rough:
                 # ---- rough microfacet bounce: Trowbridge-Reitz VNDF
                 # sample of the conductor/dielectric lobe (bxdfs.h

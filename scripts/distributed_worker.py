@@ -56,21 +56,25 @@ def main():
     assert len(devs) == 4 * nproc, (len(devs), nproc)
     mesh = Mesh(np.array(devs), ("rays",))
     scene = presets.sphere_medium(res=32, height=32, spp=2, max_depth=4)
-    run, density, majorant = mesh_mod.make_sharded_regen_renderer(
-        scene, mesh, n_lanes=128, spp=2, accum_spp=True)
-    # replicate inputs explicitly over the GLOBAL mesh (multi-controller:
-    # every process supplies its addressable shards of the same value)
-    repl = NamedSharding(mesh, P())
-    density = jax.device_put(np.asarray(density), repl)
-    majorant = jax.device_put(np.asarray(majorant), repl)
     try:
+        run, density, majorant = mesh_mod.make_sharded_regen_renderer(
+            scene, mesh, n_lanes=128, spp=2, accum_spp=True)
+        # replicate inputs explicitly over the GLOBAL mesh (multi-
+        # controller: every process supplies its addressable shards)
+        repl = NamedSharding(mesh, P())
+        density = jax.device_put(np.asarray(density), repl)
+        majorant = jax.device_put(np.asarray(majorant), repl)
         film = run(density, majorant)
         jax.block_until_ready(film)
     except Exception as e:  # pragma: no cover - environment-dependent
+        # Skip-worthy ONLY for backend-capability signatures (the Gloo
+        # cross-process CPU collective backend missing, or an op the
+        # jaxlib build cannot lower).  Generic words like "collective"
+        # must NOT match here — a real sharding regression's error text
+        # often contains them and must FAIL the test.
         msg = repr(e)
-        if any(tok in msg for tok in ("UNIMPLEMENTED", "Gloo", "gloo",
-                                      "collective")):
-            print(f"ENV_SKIP_DISTRIBUTED: collectives unavailable: "
+        if "UNIMPLEMENTED" in msg or "Gloo" in msg or "gloo" in msg:
+            print(f"ENV_SKIP_DISTRIBUTED: backend capability missing: "
                   f"{msg[:500]}", flush=True)
             sys.exit(3)
         raise

@@ -286,6 +286,11 @@ def test_bdpt_diffuse_transmission_no_spurious_adjoint():
 
     img_b, _, strat = bdpt.render_bdpt(scene, max_depth=4, spp=128,
                                        keep_strategies=True)
+    # INDEPENDENT forward reference: li_path with the (near-vacuum,
+    # tau ~ 1.6%) medium removed — a medium-bearing scene would route
+    # render() to the fused volpath whose DT lobes share this commit's
+    # code, so a correlated convention error could cancel out
+    scene.medium = None
     scene.integrator = "path"
     img_p, _ = render_mod.render(scene)
     a, b = lum(np.asarray(img_b)), lum(np.asarray(img_p))
