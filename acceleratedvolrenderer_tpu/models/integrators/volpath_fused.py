@@ -305,6 +305,26 @@ def li(
                    == materials_mod.KIND_DIFFUSE_TRANSMISSION
                    for p in opaque]
         has_dt = any(dt_list)
+
+        # Scenes with a medium always render through this integrator, so
+        # a surface kind outside its lobe set (diffuse / conductor /
+        # dielectric / thin / diffuse-transmission) silently falls back
+        # to a Lambert albedo — warn instead of rendering wrong quietly
+        # (coated loses its coat; measured/subsurface lose the BRDF
+        # entirely).  li_path renders these kinds fully in medium-free
+        # scenes (path.py _bsdf_f_pdf).
+        _supported = (materials_mod.KIND_DIFFUSE, _k_cond, _k_diel,
+                      _k_thin, materials_mod.KIND_DIFFUSE_TRANSMISSION)
+        _unsupported = sorted({type(p.material).__name__ for p in opaque
+                               if p.material.kind not in _supported})
+        if _unsupported:
+            import warnings
+
+            warnings.warn(
+                "fused volpath: material kind(s) "
+                f"{', '.join(_unsupported)} approximate to a Lambert "
+                "albedo lobe in medium-bearing scenes",
+                stacklevel=2)
         if has_dt:
             dt_mask_arr = jnp.asarray(dt_list)
 
